@@ -1,0 +1,204 @@
+"""Overlap-tile decomposition geometry (host side, pure numpy).
+
+This reproduces the reference's tile grid, mirror padding, useful-region and
+seam-feathering semantics exactly (OneImageDS,
+/root/reference/src/nind_denoise/denoise_image.py:81-177 and
+make_seamless_edges, denoise_image.py:204-213), but reformulated for a
+fixed-shape XLA engine:
+
+* The per-tile ad-hoc mirror copies of the reference are equivalent to ONE
+  global ``np.pad(mode='symmetric')`` of the source image (the reference
+  duplicates the edge pixel, which is numpy's 'symmetric', not 'reflect'),
+  padded by ``pad=(cs-ucs)//2`` on top/left and by the (possibly much larger)
+  residual grid overhang on bottom/right.
+* Seam feathering (halving ``overlap``-wide strips on interior edges so the
+  overlap-add averages neighbouring tiles) + the useful-region crop become a
+  per-tile multiplicative weight mask over a fixed ``ucs x ucs`` slab, so
+  stitching is a static-shape multiply + scatter-add — TPU friendly.
+
+Grid math (denoise_image.py:100-104): tiles of ``cs`` on stride ``ucs-ol``;
+``iperhl = ceil((W-ucs)/(ucs-ol))`` horizontal steps, analogous vertical;
+tile (xi, yi) covers padded coords starting at ``(ucs-ol)*xi`` with receptive
+pad ``(cs-ucs)/2`` on each side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TileSpec:
+    """One tile of the grid."""
+    index: int
+    xi: int
+    yi: int
+    abs_x0: int          # top-left of the useful region in image coords
+    abs_y0: int
+    useful_w: int        # useful region extent (== ucs except at right/bottom edges)
+    useful_h: int
+
+
+# per-architecture tile-size defaults (denoise_image.py:40-42)
+CS_UNET, UCS_UNET = 440, 320
+CS_UTNET, UCS_UTNET = 504, 480
+CS_UNK, UCS_UNK = 512, 448
+DEFAULT_OVERLAP = 6  # denoise_image.py:186
+
+
+def default_cs_ucs(network: Optional[str]) -> Tuple[int, int]:
+    if network == "UNet":
+        return CS_UNET, UCS_UNET
+    if network == "UtNet":
+        return CS_UTNET, UCS_UTNET
+    return CS_UNK, UCS_UNK
+
+
+class TilePlan:
+    """Static description of an overlap-tile run over one image size.
+
+    Parameters mirror the reference: ``cs`` crop size fed to the network,
+    ``ucs`` useful crop size (stitching stride + ol), ``ol`` feather overlap.
+    """
+
+    def __init__(self, height: int, width: int, cs: int, ucs: int, ol: int = DEFAULT_OVERLAP):
+        if not (0 < ucs <= cs):
+            raise ValueError(f"TilePlan: need 0 < ucs <= cs, got cs={cs} ucs={ucs}")
+        if (cs - ucs) % 2:
+            raise ValueError(f"TilePlan: cs-ucs must be even, got cs={cs} ucs={ucs}")
+        if ol >= ucs:
+            raise ValueError(f"TilePlan: overlap {ol} must be < ucs {ucs}")
+        self.H, self.W = int(height), int(width)
+        self.cs, self.ucs, self.ol = int(cs), int(ucs), int(ol)
+        self.pad = (cs - ucs) // 2
+        stride = ucs - ol
+        self.stride = stride
+        # number of extra steps needed to cover each axis
+        self.iperhl = max(0, math.ceil((self.W - ucs) / stride))
+        self.ipervl = max(0, math.ceil((self.H - ucs) / stride))
+        self.ntiles = (self.iperhl + 1) * (self.ipervl + 1)
+        # grid canvas extent (>= image, covers the last tile's useful slab)
+        self.grid_w = self.iperhl * stride + ucs
+        self.grid_h = self.ipervl * stride + ucs
+        # global symmetric padding extents for gather
+        self.pad_left = self.pad_top = self.pad
+        self.pad_right = self.iperhl * stride + cs - self.pad - self.W
+        self.pad_bottom = self.ipervl * stride + cs - self.pad - self.H
+        if self.pad_right > self.W or self.pad_bottom > self.H:
+            raise ValueError(
+                f"TilePlan: image {self.H}x{self.W} too small for cs={cs} ucs={ucs} "
+                f"(mirror pad {self.pad_bottom}x{self.pad_right} exceeds image)")
+        self._mask_cache: Dict[tuple, np.ndarray] = {}
+
+    # -- grid ---------------------------------------------------------------
+
+    def spec(self, i: int) -> TileSpec:
+        yi = i // (self.iperhl + 1)
+        xi = i % (self.iperhl + 1)
+        abs_x0 = self.stride * xi
+        abs_y0 = self.stride * yi
+        return TileSpec(
+            index=i, xi=xi, yi=yi, abs_x0=abs_x0, abs_y0=abs_y0,
+            useful_w=min(self.ucs, self.W - abs_x0),
+            useful_h=min(self.ucs, self.H - abs_y0),
+        )
+
+    def specs(self) -> List[TileSpec]:
+        return [self.spec(i) for i in range(self.ntiles)]
+
+    # -- gather -------------------------------------------------------------
+
+    def pad_image(self, img_hwc: np.ndarray) -> np.ndarray:
+        """Symmetric-pad an (H, W, C) image once for all tile gathers."""
+        assert img_hwc.shape[:2] == (self.H, self.W), (img_hwc.shape, self.H, self.W)
+        return np.pad(
+            img_hwc,
+            ((self.pad_top, self.pad_bottom), (self.pad_left, self.pad_right), (0, 0)),
+            mode="symmetric",
+        )
+
+    def gather(self, padded_hwc: np.ndarray, indices) -> np.ndarray:
+        """Slice tiles out of the padded image -> (B, cs, cs, C)."""
+        cs = self.cs
+        out = np.empty((len(indices), cs, cs, padded_hwc.shape[2]), dtype=padded_hwc.dtype)
+        for j, i in enumerate(indices):
+            s = self.spec(i)
+            out[j] = padded_hwc[s.abs_y0:s.abs_y0 + cs, s.abs_x0:s.abs_x0 + cs]
+        return out
+
+    def batches(self, batch_size: int) -> Iterator[List[int]]:
+        """Tile indices in stitch order, grouped into batches."""
+        for b0 in range(0, self.ntiles, batch_size):
+            yield list(range(b0, min(b0 + batch_size, self.ntiles)))
+
+    # -- stitch -------------------------------------------------------------
+
+    def weight_mask(self, i: int) -> np.ndarray:
+        """(ucs, ucs) float32 multiplicative stitch mask for tile ``i``.
+
+        0 outside the useful region; 0.5 factors on each ``ol``-wide strip
+        that abuts a neighbouring tile (edges interior to the image), matching
+        make_seamless_edges (denoise_image.py:204-213). Factors compound
+        (corner overlap = 0.25) so the overlap-add averages contributions.
+        """
+        s = self.spec(i)
+        left = s.abs_x0 != 0
+        top = s.abs_y0 != 0
+        right = s.abs_x0 + self.ucs < self.W and self.ol > 0
+        bottom = s.abs_y0 + self.ucs < self.H and self.ol > 0
+        key = (s.useful_h, s.useful_w, left, top, right, bottom)
+        mask = self._mask_cache.get(key)
+        if mask is None:
+            mask = np.zeros((self.ucs, self.ucs), dtype=np.float32)
+            mask[:s.useful_h, :s.useful_w] = 1.0
+            if left:
+                mask[:, :self.ol] *= 0.5
+            if top:
+                mask[:self.ol, :] *= 0.5
+            if right:
+                mask[:, s.useful_w - self.ol:s.useful_w] *= 0.5
+            if bottom:
+                mask[s.useful_h - self.ol:s.useful_h, :] *= 0.5
+            self._mask_cache[key] = mask
+        return mask
+
+    def weight_masks(self, indices) -> np.ndarray:
+        """(B, ucs, ucs, 1) stacked masks for a batch."""
+        return np.stack([self.weight_mask(i) for i in indices])[..., None]
+
+    def new_canvas(self, channels: int = 3, dtype=np.float32) -> np.ndarray:
+        """Grid-extent accumulation canvas (crop to H, W when done)."""
+        return np.zeros((self.grid_h, self.grid_w, channels), dtype=dtype)
+
+    def scatter_add(self, canvas: np.ndarray, tiles_out: np.ndarray, indices) -> None:
+        """Accumulate denoised tiles into the canvas (host reference path).
+
+        ``tiles_out``: (B, cs, cs, C) network outputs; the useful ucs x ucs
+        slab is weighted and added at each tile's absolute origin.
+        """
+        p, u = self.pad, self.ucs
+        for j, i in enumerate(indices):
+            s = self.spec(i)
+            slab = tiles_out[j, p:p + u, p:p + u] * self.weight_mask(i)[..., None]
+            canvas[s.abs_y0:s.abs_y0 + u, s.abs_x0:s.abs_x0 + u] += slab
+
+    def finalize(self, canvas: np.ndarray) -> np.ndarray:
+        return canvas[:self.H, :self.W]
+
+
+def whole_image_pad(img_chw: np.ndarray, pad: int) -> np.ndarray:
+    """Whole-image mode padding (OneImageDS whole_image branch,
+    denoise_image.py:110-128): mirror the four sides, leave corners zero."""
+    c, h, w = img_chw.shape
+    ret = np.zeros((c, h + 2 * pad, w + 2 * pad), dtype=np.float32)
+    ret[:, pad:h + pad, pad:w + pad] = img_chw
+    if pad:
+        ret[:, pad:-pad, :pad] = np.flip(img_chw[:, :, :pad], axis=2)
+        ret[:, pad:-pad, w + pad:] = np.flip(img_chw[:, :, w - pad:], axis=2)
+        ret[:, :pad, pad:-pad] = np.flip(img_chw[:, :pad, :], axis=1)
+        ret[:, h + pad:, pad:-pad] = np.flip(img_chw[:, h - pad:, :], axis=1)
+    return ret

@@ -1,0 +1,152 @@
+"""PyTorch checkpoint -> JAX parameter-pytree importer.
+
+Loads the reference's ``.pt`` state_dicts (e.g. the published
+``generator_650.pt``, registry at /root/reference/src/config/operations.yaml:71-73)
+and converts them to this framework's conv-native layout:
+
+* ``nn.Conv2d``           weight (O, I, kh, kw)  -> HWIO
+* ``nn.ConvTranspose2d``  k=3 s=1 weight (I, O, 3, 3)
+      -> spatially-flipped HWIO plain-conv kernel (FULL padding at apply time)
+* ``nn.ConvTranspose2d``  k=2 s=2 weight (I, O, 2, 2)
+      -> (I, 4*O) matmul matrix with column index (u*2+v)*O + o
+        (consumed by ops.conv.upconv2x as 1x1-conv + pixel shuffle)
+* ``nn.PReLU``            weight (1,) -> scalar ``a``
+* ``nn.BatchNorm2d``      weight/bias -> scale/bias params;
+                          running_mean/var -> state
+
+Key maps follow the reference module trees: UtNet (networks/UtNet.py:13-109)
+and UNet (networks/nnModules.py:104-210).
+
+torch (CPU) is imported lazily and only used to deserialize; all math stays
+numpy/JAX.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def conv_w(t) -> np.ndarray:
+    """(O, I, kh, kw) -> (kh, kw, I, O)."""
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def tconv3_w(t) -> np.ndarray:
+    """(I, O, 3, 3) -> flipped (3, 3, I, O) plain-conv kernel."""
+    w = _np(t)[:, :, ::-1, ::-1]
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+
+
+def upconv_w(t) -> np.ndarray:
+    """(I, O, 2, 2) -> (I, 4*O), column (u*2+v)*O + o."""
+    w = _np(t)
+    i, o = w.shape[0], w.shape[1]
+    return np.ascontiguousarray(w.transpose(0, 2, 3, 1).reshape(i, 4 * o))
+
+
+def load_state_dict(fpath: str) -> Dict[str, "np.ndarray"]:
+    import torch
+
+    sd = torch.load(fpath, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return sd
+
+
+def _prelu(sd, key) -> Optional[np.ndarray]:
+    if key in sd:
+        return _np(sd[key]).reshape(())
+    return None
+
+
+def _lay(sd, prefix, kind, act_key=None) -> Dict:
+    """One conv-ish layer + optional following PReLU param."""
+    wmap = {"conv": conv_w, "tconv3": tconv3_w, "up": upconv_w}[kind]
+    lay = {"w": wmap(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        lay["b"] = _np(sd[prefix + ".bias"])
+    if act_key is not None:
+        a = _prelu(sd, act_key + ".weight")
+        if a is not None:
+            lay["a"] = a
+    return lay
+
+
+def import_utnet(fpath_or_sd, funit: int = 64) -> Dict:
+    """torch UtNet state_dict -> UtNet params pytree (models/utnet.py)."""
+    sd = load_state_dict(fpath_or_sd) if isinstance(fpath_or_sd, str) else fpath_or_sd
+
+    def double(prefix, kind):
+        return {
+            "c0": _lay(sd, f"{prefix}.0", kind, f"{prefix}.1"),
+            "c1": _lay(sd, f"{prefix}.2", kind, f"{prefix}.3"),
+        }
+
+    params = {
+        "convs1": double("convs1", "conv"),
+        "convs2": double("convs2", "conv"),
+        "convs3": double("convs3", "conv"),
+        "convs4": double("convs4", "conv"),
+        "bottom": {
+            "c0": _lay(sd, "bottom.0", "conv", "bottom.1"),
+            "c1": _lay(sd, "bottom.2", "tconv3", "bottom.3"),
+        },
+        "up1": _lay(sd, "up1", "up"),
+        "tconvs1": double("tconvs1", "tconv3"),
+        "up2": _lay(sd, "up2", "up"),
+        "tconvs2": double("tconvs2", "tconv3"),
+        "up3": _lay(sd, "up3", "up"),
+        "tconvs3": double("tconvs3", "tconv3"),
+        "up4": _lay(sd, "up4", "up"),
+        "tconvs4": {
+            "c0": _lay(sd, "tconvs4.0", "tconv3", "tconvs4.1"),
+            "c1": _lay(sd, "tconvs4.2", "tconv3", "tconvs4.3"),
+            "c2": _lay(sd, "tconvs4.4", "conv"),
+        },
+    }
+    return params
+
+
+def _bn(sd, prefix) -> Tuple[Dict, Dict]:
+    p = {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+    s = {"mean": _np(sd[prefix + ".running_mean"]), "var": _np(sd[prefix + ".running_var"])}
+    return p, s
+
+
+def import_unet(fpath_or_sd, find_noise: bool = False) -> Tuple[Dict, Dict]:
+    """torch UNet state_dict -> (params, state) for models/unet.py."""
+    sd = load_state_dict(fpath_or_sd) if isinstance(fpath_or_sd, str) else fpath_or_sd
+
+    def double(prefix):
+        p0 = _lay(sd, f"{prefix}.0", "conv")
+        bn0p, bn0s = _bn(sd, f"{prefix}.1")
+        p1 = _lay(sd, f"{prefix}.3", "conv")
+        bn1p, bn1s = _bn(sd, f"{prefix}.4")
+        return ({"c0": p0, "bn0": bn0p, "c1": p1, "bn1": bn1p},
+                {"bn0": bn0s, "bn1": bn1s})
+
+    params: Dict = {"find_noise": find_noise}
+    state: Dict = {}
+    params["inc"], state["inc"] = double("inc.conv.conv")
+    for i in range(1, 5):
+        params[f"down{i}"], state[f"down{i}"] = double(f"down{i}.mpconv.1.conv")
+    for i in range(1, 5):
+        params[f"up{i}_t"] = _lay(sd, f"up{i}.up", "up")
+        params[f"up{i}"], state[f"up{i}"] = double(f"up{i}.conv.conv")
+    params["outc"] = _lay(sd, "outc.conv", "conv")
+    return params, state
+
+
+def import_checkpoint(fpath: str, network: str, **kwargs):
+    """Dispatch by architecture name. Returns params or (params, state)."""
+    if network == "UtNet":
+        return import_utnet(fpath, **kwargs)
+    if network == "UNet":
+        return import_unet(fpath, **kwargs)
+    raise NotImplementedError(f"torch import for {network}")
