@@ -1,0 +1,90 @@
+"""On-device Richardson-Lucy deblur — the gmic stage moved onto the TPU.
+
+The reference shells out to gmic for this
+(``gmic <s2.tif> -deblur_richardsonlucy <sigma>,<iterations>,1 -/ 256
+cut 0,255 round -o <out>,<quality>``, /root/reference/src/denoise.py:470-475).
+Here the deconvolution runs as a jitted JAX program (BASELINE config #3):
+
+* Gaussian PSF of standard deviation ``sigma`` (separable, truncated at
+  radius ceil(3*sigma), normalized).
+* Classic multiplicative RL iteration, ``dt`` exponent on the correction
+  (the third gmic argument; the pipeline always passes 1):
+      u <- u * [ (d / (u (*) P)) (*) P ]^dt
+  The Gaussian PSF is symmetric so the correlation/convolution adjoint pair
+  collapses to the same kernel.
+* Neumann (edge-replicate) boundary like gmic's default.
+* Post-ops bit-follow the gmic command line on 16-bit data:
+  ``/256, cut 0-255, round`` -> uint8. With inputs normalized to [0, 1]
+  (imgio convention, 16-bit/65535) this is ``round(clip(u*65535/256, 0,
+  255))``.
+
+RL is scale-invariant, so running on [0, 1] data matches gmic's 0..65535
+arithmetic exactly up to fp error.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def gaussian_psf_1d(sigma: float) -> jnp.ndarray:
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return k / k.sum()
+
+
+def _blur(x: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise Gaussian with edge-replicate boundary. NHWC."""
+    r = (k1d.shape[0] - 1) // 2
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+    dn = lax.conv_dimension_numbers(xp.shape, (1, 1, 1, c), ("NHWC", "HWIO", "NHWC"))
+    kh = jnp.tile(k1d[:, None, None, None], (1, 1, 1, c))
+    kw = jnp.tile(k1d[None, :, None, None], (1, 1, 1, c))
+    xp = lax.conv_general_dilated(xp, kh, (1, 1), "VALID", dimension_numbers=dn,
+                                  feature_group_count=c,
+                                  preferred_element_type=jnp.float32)
+    xp = lax.conv_general_dilated(xp, kw, (1, 1), "VALID", dimension_numbers=dn,
+                                  feature_group_count=c,
+                                  preferred_element_type=jnp.float32)
+    return xp
+
+
+@partial(jax.jit, static_argnames=("sigma", "iterations", "dt"))
+def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
+              dt: float = 1.0) -> jnp.ndarray:
+    """Richardson-Lucy deconvolution. img: (N, H, W, C) or (H, W, C), any
+    non-negative scale. Returns same shape, float32."""
+    squeeze = img.ndim == 3
+    x = img[None] if squeeze else img
+    x = x.astype(jnp.float32)
+    k = gaussian_psf_1d(sigma)
+    eps = 1e-8
+    d = jnp.maximum(x, 0.0)
+
+    def body(_, u):
+        est = _blur(u, k)
+        ratio = d / jnp.maximum(est, eps)
+        corr = _blur(ratio, k)
+        if dt != 1.0:
+            corr = jnp.power(jnp.maximum(corr, eps), dt)
+        return u * corr
+
+    u = lax.fori_loop(0, iterations, body, d)
+    return u[0] if squeeze else u
+
+
+def rl_deblur_to_uint8(img01: np.ndarray, sigma: float = 1.0,
+                       iterations: int = 10, dt: float = 1.0) -> np.ndarray:
+    """Full gmic-pipeline semantics on a [0,1]-normalized HWC image:
+    RL deblur, then ``*65535/256, clip 0-255, round`` -> uint8 HWC."""
+    u = np.asarray(rl_deblur(jnp.asarray(img01, jnp.float32), sigma, iterations, dt))
+    out = np.clip(u * (65535.0 / 256.0), 0.0, 255.0)
+    return np.round(out).astype(np.uint8)

@@ -1,0 +1,67 @@
+"""TileEngine tests: on-device stitch must equal the numpy reference stitch,
+and an identity network must reconstruct the input."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nind_denoise_tpu.core import tiles
+from nind_denoise_tpu.engine.tile_engine import TileEngine
+from nind_denoise_tpu.models.utnet import UtNet
+
+
+def test_identity_network_reconstructs():
+    eng = TileEngine(lambda p, x: x, params={}, cs=64, ucs=48, ol=4,
+                     batch_size=3, compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 100, 130), dtype=np.float32)
+    out = eng.denoise_chw(img)
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_engine_matches_host_stitch():
+    params = UtNet.init(jax.random.PRNGKey(0), funit=4)
+    apply_fn = lambda p, x: UtNet.apply(p, x)
+    eng = TileEngine(apply_fn, params, cs=104, ucs=88, ol=6, batch_size=2,
+                     compute_dtype="float32")
+    rng = np.random.default_rng(1)
+    img = rng.random((150, 170, 3), dtype=np.float32)
+
+    got = eng.denoise_hwc(img)
+
+    plan = tiles.TilePlan(150, 170, 104, 88, 6)
+    padded = plan.pad_image(img)
+    canvas = plan.new_canvas()
+    jfwd = jax.jit(apply_fn)
+    for batch in plan.batches(2):
+        out = np.asarray(jfwd(params, jnp.asarray(plan.gather(padded, batch))))
+        plan.scatter_add(canvas, out, batch)
+    ref = plan.finalize(canvas)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_partial_batch_padding():
+    """ntiles not divisible by batch_size must not change the result."""
+    eng5 = TileEngine(lambda p, x: x, params={}, cs=64, ucs=48, ol=4,
+                      batch_size=5, compute_dtype="float32")
+    rng = np.random.default_rng(2)
+    img = rng.random((3, 100, 130), dtype=np.float32)
+    np.testing.assert_allclose(eng5.denoise_chw(img), img, atol=1e-6)
+
+
+def test_max_subpixels_guard():
+    eng = TileEngine(lambda p, x: x, params={}, cs=64, ucs=48, ol=4,
+                     batch_size=2, compute_dtype="float32", max_subpixels=10)
+    img = np.zeros((3, 100, 100), dtype=np.float32)
+    with pytest.raises(RuntimeError, match="max_subpixels"):
+        eng.denoise_chw(img)
+
+
+def test_whole_image_mode():
+    eng = TileEngine(lambda p, x: x, params={}, cs=64, ucs=48,
+                     compute_dtype="float32")
+    rng = np.random.default_rng(3)
+    img = rng.random((3, 40, 52), dtype=np.float32)
+    out = eng.denoise_whole(img, pad=4)
+    np.testing.assert_allclose(out, img, atol=1e-6)

@@ -1,0 +1,112 @@
+"""Loss tests: independent torch oracle (coded separately from the JAX path,
+straight from the SSIM/MS-SSIM definitions with piqa's conventions) plus
+analytic invariants."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nind_denoise_tpu.ops import losses
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def torch_gauss(size=11, sigma=1.5):
+    x = torch.arange(size, dtype=torch.float64) - (size - 1) / 2
+    k = torch.exp(-(x ** 2) / (2 * sigma ** 2))
+    return (k / k.sum()).float()
+
+
+def torch_ssim_cs(x, y, value_range=1.0, k1=0.01, k2=0.03):
+    """Independent torch SSIM (valid padding, separable window, per-channel)."""
+    c = x.shape[1]
+    k = torch_gauss()
+    win_h = k.view(1, 1, -1, 1).repeat(c, 1, 1, 1)
+    win_w = k.view(1, 1, 1, -1).repeat(c, 1, 1, 1)
+
+    def filt(t):
+        return F.conv2d(F.conv2d(t, win_h, groups=c), win_w, groups=c)
+
+    c1 = (k1 * value_range) ** 2
+    c2 = (k2 * value_range) ** 2
+    mx, my = filt(x), filt(y)
+    vx = filt(x * x) - mx ** 2
+    vy = filt(y * y) - my ** 2
+    cov = filt(x * y) - mx * my
+    cs = (2 * cov + c2) / (vx + vy + c2)
+    ss = (2 * mx * my + c1) / (mx ** 2 + my ** 2 + c1) * cs
+    return ss.mean(dim=(2, 3)), cs.mean(dim=(2, 3))
+
+
+def torch_ms_ssim(x, y):
+    weights = torch.tensor(losses.MS_SSIM_WEIGHTS)
+    css, ss = [], None
+    for i in range(5):
+        if i > 0:
+            x = F.avg_pool2d(x, 2, ceil_mode=True)
+            y = F.avg_pool2d(y, 2, ceil_mode=True)
+        ss, cs = torch_ssim_cs(x, y)
+        css.append(torch.relu(cs))
+    stack = torch.stack(css[:-1] + [torch.relu(ss)], dim=-1)
+    return (stack ** weights).prod(dim=-1).mean(dim=-1)
+
+
+@pytest.fixture
+def pair():
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 3, 170, 170), dtype=np.float32)
+    # y = smoothed x + noise: realistic correlated pair
+    y = np.clip(x + rng.normal(0, 0.1, x.shape).astype(np.float32), 0, 1)
+    return x, y
+
+
+def test_ssim_matches_torch_oracle(pair):
+    x, y = pair
+    ref = torch_ssim_cs(torch.from_numpy(x), torch.from_numpy(y))[0].mean(1).numpy()
+    got = np.asarray(losses.ssim(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 jnp.asarray(y.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_ms_ssim_matches_torch_oracle(pair):
+    x, y = pair
+    ref = torch_ms_ssim(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+    got = np.asarray(losses.ms_ssim(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                    jnp.asarray(y.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_identity_is_one(pair):
+    x, _ = pair
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(losses.ssim(xj, xj)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(losses.ms_ssim(xj, xj)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(losses.ms_ssim_loss(xj, xj)), 0.0, atol=1e-6)
+
+
+def test_min_size_162():
+    """MS-SSIM must work at 162 px (pt_losses.py:29)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 162, 162, 3), dtype=np.float32))
+    v = np.asarray(losses.ms_ssim(x, x))
+    assert np.isfinite(v).all()
+
+
+def test_monotonic_in_noise(pair):
+    x, _ = pair
+    rng = np.random.default_rng(2)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    prev = 1.0
+    for s in (0.02, 0.1, 0.3):
+        y = np.clip(x + rng.normal(0, s, x.shape).astype(np.float32), 0, 1)
+        cur = float(np.asarray(losses.ms_ssim(xj, jnp.asarray(y.transpose(0, 2, 3, 1)))).mean())
+        assert cur < prev
+        prev = cur
+
+
+def test_psnr():
+    x = jnp.zeros((1, 8, 8, 3))
+    y = jnp.full((1, 8, 8, 3), 0.1)
+    np.testing.assert_allclose(np.asarray(losses.psnr(x, y)), 20.0, atol=1e-4)
