@@ -1,32 +1,38 @@
-"""Tiled inference engine: fixed-shape XLA programs + on-device stitching.
+"""Tiled inference engine: fixed-shape XLA programs, wire-minimal transfers.
 
 This replaces the reference's per-tile host loop
-(/root/reference/src/nind_denoise/denoise_image.py:240-267, which crosses the
-host<->device boundary twice per tile and accumulates on a host canvas) with
-a TPU-native design:
+(/root/reference/src/nind_denoise/denoise_image.py:240-267, host<->device
+twice per tile, fp32 both ways, host canvas) with a TPU-native design shaped
+by two measured constraints of the target deployment: device compute runs at
+tens of MP/s while the host<->device link moves ~0.05-0.15 GB/s, and each
+compiled shape costs tens of seconds.
 
-* ONE compiled program per (batch, cs) shape: model forward over a tile
-  batch, feather-weight multiply, and scatter-add into an HBM-resident fp32
-  canvas, all inside jit (donated canvas -> in-place update).
-* Host work is only decode + symmetric pad + tile gather; dispatch is async,
-  so gather of batch k+1 overlaps device compute of batch k. The canvas
-  crosses back to the host once, at the end.
-* Partial final batches are padded with zero-weight dummy tiles instead of
-  recompiling.
-* ``compute_dtype`` bfloat16 (default) halves HBM traffic; convs accumulate
-  fp32 (ops/conv.py). ``precision='float32'`` runs fp32 activations with
-  highest matmul precision for PSNR-parity work.
+* **Upload once, in storage dtype.** The source image crosses the wire one
+  time as uint8/uint16 (or fp16 for fp32 TIFF stages); normalization,
+  symmetric mirror padding and tile gather all happen on device.
+* **All stitching on device.** The fp32 accumulation canvas lives in HBM;
+  each step program gathers a tile batch from the padded image
+  (vmapped dynamic_slice), runs the generator, builds the feather/useful-
+  region weight masks from six per-tile scalars (broadcasted_iota compares —
+  zero wire cost), and scatter-adds. The canvas is donated, so XLA updates
+  it in place.
+* **Download once, quantized.** The finished canvas is cropped and quantized
+  on device to the target encoding (uint16 for .png/.tif, uint8 for .jpg,
+  fp16/fp32 for .tiff stages) before the single readback.
+* **Shape bucketing.** Padded-image and canvas shapes round up to multiples
+  of 512 so one compiled step program serves a whole range of image sizes;
+  partial final batches pad with zero-weight dummy tiles.
 
-Output semantics match the reference: NO clipping of network outputs before
-the fp32 write (denoise_image.py:246,267-270); 8/16-bit writers clip at
-encode time (core/imgio.py).
+Output semantics match the reference: NO clipping before fp32 writes
+(denoise_image.py:246,267-270); integer encodings clip at quantize time like
+``tensor_to_imgfile`` (pt_helpers.py:22-40).
 """
 
 from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +41,17 @@ from jax import lax
 
 from ..core import tiles as tiles_mod
 from ..core.tiles import TilePlan, default_cs_ucs
+from . import transfer
+
+BUCKET = 512
+
+
+def _bucket(n: int, m: int = BUCKET) -> int:
+    return ((n + m - 1) // m) * m
 
 
 class TileEngine:
-    """Denoise arbitrarily-sized images through a fixed-shape tile program.
+    """Denoise arbitrarily-sized images through fixed-shape tile programs.
 
     ``apply_fn(params, x_nhwc) -> y_nhwc`` is the generator forward (e.g.
     ``UtNet.apply`` closed over its activation).
@@ -56,26 +69,62 @@ class TileEngine:
         self.precision = precision
         self.max_subpixels = max_subpixels
         self.params = jax.device_put(params)
-        self._step = jax.jit(self._make_step(), donate_argnums=(1,))
-        self._whole = None  # lazily jitted whole-image program per shape
+        self._step = jax.jit(self._make_step(), donate_argnums=(1,),
+                             static_argnames=())
+        self._prep = jax.jit(self._prep_fn, static_argnames=("pads", "bucket_hw"))
+        self._finish = jax.jit(self._finish_fn,
+                               static_argnames=("h", "w", "out_dtype"))
+        self._band = jax.jit(self._band_fn,
+                             static_argnames=("height", "w", "out_dtype"))
 
     # -- compiled programs ----------------------------------------------------
 
+    def _prep_fn(self, raw, scale, pads, bucket_hw):
+        """raw (H, W, C) any dtype -> padded compute-dtype image
+        (Hb, Wb, C): normalize, symmetric mirror pad, zero-pad to bucket."""
+        x = raw.astype(jnp.float32) / scale
+        (pt, pb), (pl, pr) = pads
+        x = jnp.pad(x, ((pt, pb), (pl, pr), (0, 0)), mode="symmetric")
+        hb, wb = bucket_hw
+        x = jnp.pad(x, ((0, hb - x.shape[0]), (0, wb - x.shape[1]), (0, 0)))
+        return x.astype(self.compute_dtype)
+
     def _make_step(self):
-        pad, ucs = self.pad, self.ucs
-        cdt = self.compute_dtype
+        pad, ucs, cs, ol = self.pad, self.ucs, self.cs, self.ol
         prec = self.precision
 
-        def step(params, canvas, tile_batch, coords, wmasks):
-            """canvas: (Hg, Wg, C) fp32 (donated). tile_batch: (B, cs, cs, C).
-            coords: (B, 2) int32 [y0, x0]. wmasks: (B, ucs, ucs, 1) fp32."""
-            x = tile_batch.astype(cdt)
+        def gather_one(padded, yx):
+            return lax.dynamic_slice(padded, (yx[0], yx[1], 0),
+                                     (cs, cs, padded.shape[2]))
+
+        def mask_one(spec):
+            """(6,) int32 [useful_h, useful_w, left, top, right, bottom]
+            -> (ucs, ucs, 1) fp32 feather/validity mask (core/tiles.py
+            weight_mask semantics, built on device)."""
+            h, w, left, top, right, bottom = (spec[i] for i in range(6))
+            r = lax.broadcasted_iota(jnp.int32, (ucs, ucs), 0)
+            c = lax.broadcasted_iota(jnp.int32, (ucs, ucs), 1)
+            m = ((r < h) & (c < w)).astype(jnp.float32)
+            half = jnp.float32(0.5)
+            one = jnp.float32(1.0)
+            m = m * jnp.where((left == 1) & (c < ol), half, one)
+            m = m * jnp.where((top == 1) & (r < ol), half, one)
+            m = m * jnp.where((right == 1) & (c >= w - ol) & (c < w), half, one)
+            m = m * jnp.where((bottom == 1) & (r >= h - ol) & (r < h), half, one)
+            return m[..., None]
+
+        def step(params, canvas, padded, coords, specs):
+            """canvas (Hg, Wg, C) fp32, donated. padded (Hb, Wb, C) compute
+            dtype. coords (B, 2) int32 gather origins (padded frame).
+            specs (B, 6) int32 mask descriptors (zero row = dummy tile)."""
+            tiles = jax.vmap(lambda yx: gather_one(padded, yx))(coords)
             if prec == "float32":
                 with jax.default_matmul_precision("highest"):
-                    y = self.apply_fn(params, x)
+                    y = self.apply_fn(params, tiles)
             else:
-                y = self.apply_fn(params, x)
-            slab = y[:, pad:pad + ucs, pad:pad + ucs, :].astype(jnp.float32) * wmasks
+                y = self.apply_fn(params, tiles)
+            masks = jax.vmap(mask_one)(specs)
+            slab = y[:, pad:pad + ucs, pad:pad + ucs, :].astype(jnp.float32) * masks
 
             def body(i, cv):
                 y0 = coords[i, 0]
@@ -83,47 +132,120 @@ class TileEngine:
                 cur = lax.dynamic_slice(cv, (y0, x0, 0), (ucs, ucs, cv.shape[2]))
                 return lax.dynamic_update_slice(cv, cur + slab[i], (y0, x0, 0))
 
-            return lax.fori_loop(0, tile_batch.shape[0], body, canvas)
+            return lax.fori_loop(0, coords.shape[0], body, canvas)
 
         return step
+
+    @staticmethod
+    def _quantize(out, out_dtype):
+        if out_dtype == "uint16":
+            return jnp.round(jnp.clip(out, 0, 1) * 65535).astype(jnp.uint16)
+        if out_dtype == "uint8":
+            return jnp.round(jnp.clip(out, 0, 1) * 255).astype(jnp.uint8)
+        if out_dtype == "float16":
+            return out.astype(jnp.float16)
+        return out
+
+    @staticmethod
+    def _band_fn(canvas, start, height, w, out_dtype):
+        """Quantize one finished row band (static height/width, dynamic
+        start) so its fetch can overlap remaining compute."""
+        band = lax.dynamic_slice(canvas, (start, 0, 0),
+                                 (height, w, canvas.shape[2]))
+        return TileEngine._quantize(band, out_dtype)
+
+    @staticmethod
+    def _finish_fn(canvas, h, w, out_dtype):
+        return TileEngine._quantize(canvas[:h, :w], out_dtype)
 
     # -- public API -----------------------------------------------------------
 
     def plan_for(self, height: int, width: int) -> TilePlan:
         return TilePlan(height, width, self.cs, self.ucs, self.ol)
 
+    def denoise_raw(self, raw_hwc: np.ndarray, scale: float,
+                    out_dtype: str = "float32", progress: bool = False) -> np.ndarray:
+        """Denoise from storage-dtype pixels.
+
+        raw_hwc: (H, W, C) uint8/uint16/float; ``scale`` divides to [0, 1]
+        (255, 65535, or 1.0 for already-float data). ``out_dtype``:
+        'float32' (unclipped), 'float16', 'uint16', 'uint8' (clipped+scaled).
+        """
+        h, w, c = raw_hwc.shape
+        plan = self.plan_for(h, w)
+        if self.max_subpixels is not None and self.batch_size * self.cs * self.cs * c \
+                > self.max_subpixels:
+            raise RuntimeError(
+                f"TileEngine: batch of {self.batch_size * self.cs * self.cs * c} "
+                f"subpixels exceeds max_subpixels={self.max_subpixels}")
+        if raw_hwc.dtype == np.float32 and self.compute_dtype == jnp.bfloat16 \
+                and self.precision != "float32":
+            raw_hwc = raw_hwc.astype(np.float16)  # halve wire bytes; <= 5e-4 rel err
+        pads = ((plan.pad_top, plan.pad_bottom), (plan.pad_left, plan.pad_right))
+        hb = _bucket(h + plan.pad_top + plan.pad_bottom)
+        wb = _bucket(w + plan.pad_left + plan.pad_right)
+        padded = self._prep(transfer.fast_put(np.ascontiguousarray(raw_hwc)),
+                            jnp.float32(scale), pads=pads, bucket_hw=(hb, wb))
+        canvas = jnp.zeros((_bucket(plan.grid_h), _bucket(plan.grid_w), c),
+                           jnp.float32)
+
+        bsz = self.batch_size
+        nb = math.ceil(plan.ntiles / bsz)
+        tiles_per_row = plan.iperhl + 1
+        band_arrays = []  # quantized device bands, dispatched inline
+        fetched_rows = 0  # canvas rows already covered by a band op
+
+        def flush_final_rows(final_rows: int):
+            """Dispatch quantize ops for canvas rows no future tile touches.
+            The device executes in dispatch order, so fetching these later
+            overlaps with the remaining tile compute. (Fetch threads must not
+            run concurrently with dispatch: the tunnel client deadlocks.)"""
+            nonlocal fetched_rows
+            band_h = plan.stride
+            while final_rows - fetched_rows >= band_h and fetched_rows + band_h <= h:
+                band_arrays.append(self._band(canvas, jnp.int32(fetched_rows),
+                                              height=band_h, w=w,
+                                              out_dtype=out_dtype))
+                fetched_rows += band_h
+
+        for k, batch in enumerate(plan.batches(bsz)):
+            coords = np.zeros((bsz, 2), np.int32)
+            specs = np.zeros((bsz, 6), np.int32)
+            for j, i in enumerate(batch):
+                s = plan.spec(i)
+                coords[j] = (s.abs_y0, s.abs_x0)  # gather origin == abs origin
+                specs[j] = (s.useful_h, s.useful_w,
+                            s.abs_x0 != 0,
+                            s.abs_y0 != 0,
+                            s.abs_x0 + self.ucs < w and self.ol > 0,
+                            s.abs_y0 + self.ucs < h and self.ol > 0)
+            canvas = self._step(self.params, canvas, padded,
+                                jnp.asarray(coords), jnp.asarray(specs))
+            # tile rows fully dispatched -> canvas rows < row*stride are final
+            done_tile_rows = (batch[-1] + 1) // tiles_per_row
+            flush_final_rows(done_tile_rows * plan.stride)
+            if progress:
+                print(f"{k}/{nb}")
+        if fetched_rows < h:
+            band_arrays.append(self._finish(canvas[fetched_rows:],
+                                            h=h - fetched_rows, w=w,
+                                            out_dtype=out_dtype))
+        # all device work is dispatched; now fetch bands concurrently
+        fetcher = transfer.AsyncFetcher()
+        for band in band_arrays:
+            fetcher.submit(band)
+        bands = fetcher.collect()
+        return np.concatenate(bands, axis=0) if len(bands) > 1 else bands[0]
+
+    def denoise_hwc(self, img_hwc: np.ndarray, progress: bool = False) -> np.ndarray:
+        """(H, W, C) float32 in [0,1]-ish -> float32, unclipped."""
+        return self.denoise_raw(np.ascontiguousarray(img_hwc), 1.0,
+                                out_dtype="float32", progress=progress)
+
     def denoise_chw(self, img_chw: np.ndarray, progress: bool = False) -> np.ndarray:
-        """(3, H, W) float32 -> (3, H, W) float32 (unclipped)."""
         out = self.denoise_hwc(np.ascontiguousarray(img_chw.transpose(1, 2, 0)),
                                progress=progress)
         return out.transpose(2, 0, 1)
-
-    def denoise_hwc(self, img_hwc: np.ndarray, progress: bool = False) -> np.ndarray:
-        h, w, c = img_hwc.shape
-        plan = self.plan_for(h, w)
-        padded = plan.pad_image(img_hwc)
-        canvas = jnp.zeros((plan.grid_h, plan.grid_w, c), jnp.float32)
-        bsz = self.batch_size
-        nb = math.ceil(plan.ntiles / bsz)
-        for k, batch in enumerate(plan.batches(bsz)):
-            tb = plan.gather(padded, batch)
-            if self.max_subpixels is not None and tb.size > self.max_subpixels:
-                raise RuntimeError(
-                    f"TileEngine: batch of {tb.size} subpixels exceeds "
-                    f"max_subpixels={self.max_subpixels}")
-            wm = plan.weight_masks(batch)
-            coords = np.array([[plan.spec(i).abs_y0, plan.spec(i).abs_x0]
-                               for i in batch], dtype=np.int32)
-            npad = bsz - len(batch)
-            if npad:  # zero-weight dummy tiles keep the compiled shape fixed
-                tb = np.concatenate([tb, np.zeros((npad, *tb.shape[1:]), tb.dtype)])
-                wm = np.concatenate([wm, np.zeros((npad, *wm.shape[1:]), wm.dtype)])
-                coords = np.concatenate([coords, np.zeros((npad, 2), np.int32)])
-            canvas = self._step(self.params, canvas, jnp.asarray(tb),
-                                jnp.asarray(coords), jnp.asarray(wm))
-            if progress:
-                print(f"{k}/{nb}")
-        return np.asarray(jax.block_until_ready(canvas))[:h, :w]
 
     def denoise_whole(self, img_chw: np.ndarray, pad: int = 0) -> np.ndarray:
         """Whole-image mode (reference --whole_image --pad,

@@ -86,14 +86,19 @@ class UtNet:
 
     @staticmethod
     def check_cs(cs: int) -> None:
+        """Validate the size formula (((cs/2-4)/2-4)/2-4)/2-2 (UtNet.py:6-7):
+        every pool input must be even and the bottom conv must see >= 3 px."""
         v = cs
-        for _ in range(4):
+        for _ in range(3):
             if v % 2:
                 raise ValueError(f"UtNet: invalid tile size {cs} (odd at a pool step)")
             v = v // 2 - 4
             if v <= 0:
                 raise ValueError(f"UtNet: tile size {cs} too small")
-        if v - 2 <= 0:
+        if v % 2:
+            raise ValueError(f"UtNet: invalid tile size {cs} (odd at a pool step)")
+        v = v // 2 - 2
+        if v <= 0:
             raise ValueError(f"UtNet: tile size {cs} too small at bottom")
 
     @staticmethod

@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers for multi-chip scale-out.
+
+The reference is strictly single-process single-device (SURVEY.md §2.9,
+§5.8: no torch.distributed anywhere). The TPU-native scale-out strategy for
+this workload (a ~31 M-param conv net over independent tiles/crops) is:
+
+* **Data parallelism** — training batches and inference tile batches shard
+  over a 1-D ``('data',)`` mesh; parameters are replicated (124 MB fp32 is
+  trivially replicable). XLA inserts the gradient all-reduce over ICI from
+  the sharding annotations alone.
+* **Tile parallelism** — the image analog of sequence/context parallelism:
+  each chip denoises disjoint tiles; halos are read-only from the source
+  image so no inter-chip exchange is needed (SURVEY.md §5.7).
+
+``jax.distributed.initialize`` is invoked lazily for multi-host pods.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch/tile) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
+    """Place host arrays with the batch axis sharded over the mesh."""
+    sh = data_sharding(mesh, axis_name)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def replicate_tree(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh)
+                                  if hasattr(x, "shape") else x, tree)
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
+    """Pad the batch axis so it divides the mesh; returns (padded, n_real)."""
+    n = arr.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, n
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, rem)
+    return np.pad(arr, pad), n

@@ -1,0 +1,274 @@
+"""denoise — end-to-end RAW -> developed TIFF -> denoise -> RL-deblur -> JPEG.
+
+CLI surface parity with the reference's docopt pipeline
+(/root/reference/src/denoise.py:8-35): same options and defaults
+(-o/--output-path, -e/--extension [jpg], --dt, -g/--gmic, -q/--quality [90],
+--nightmode, --no_deblur, --debug, --tiff-input, --sigma [1],
+--iterations [10], --height, --copy_num, -v/--verbose), file-or-directory
+input over the same RAW extension list, the same stage file naming
+(<stem>_s1.tif 32-bit dev / _s1_denoised.tiff fp32 / _s2.tif 16-bit;
+tif=16-bit vs tiff=32-bit convention, denoise.py:417-418) and collision
+counter (_1.._99).
+
+TPU-native differences:
+* the denoiser runs IN-PROCESS on the TileEngine instead of a python
+  subprocess (denoise.py:430-436) — no process boundary, no re-import cost;
+* RL-deblur runs on-device (ops/rl_deblur.py) by default; ``--use-gmic``
+  restores the byte-compatible gmic subprocess when the binary exists;
+* if darktable-cli is absent and the input is already a TIFF, stage 2 is
+  skipped with a warning instead of crashing (CI-friendly, SURVEY.md §4c).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import sys
+from typing import Optional
+
+import numpy as np
+
+from ..core import imgio
+from ..models import params_io
+from . import exif as exif_mod
+from . import external, xmp
+
+VALID_EXTENSIONS = [
+    "." + e.lower() for e in
+    ["3FR", "ARW", "SR2", "SRF", "CR2", "CR3", "CRW", "DNG", "ERF", "FFF",
+     "MRW", "NEF", "NRW", "ORF", "PEF", "RAF", "RW2"]
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="denoise", description="Denoise the RAW image <raw_image> and save the result.")
+    p.add_argument("raw_image", help="RAW file (or directory of RAWs)")
+    p.add_argument("-o", "--output-path", dest="output_path",
+                   help="Where to save the result (defaults to input directory)")
+    p.add_argument("-e", "--extension", default="jpg", help="Output extension")
+    p.add_argument("-d", "--dt", help="Path to darktable-cli")
+    p.add_argument("-g", "--gmic", help="Path to gmic")
+    p.add_argument("-q", "--quality", default="90", help="JPEG quality")
+    p.add_argument("--nightmode", action="store_true",
+                   help="Normalize brightness (exposure, toneequal) before denoise")
+    p.add_argument("--no_deblur", action="store_true", help="Skip RL-deblur")
+    p.add_argument("--debug", action="store_true", help="Keep intermediate files")
+    p.add_argument("--tiff-input", dest="tiff_input", action="store_true",
+                   help="Input is already a stage-1 TIFF")
+    p.add_argument("--sigma", default="1", help="RL-deblur sigma")
+    p.add_argument("--iterations", default="10", help="RL-deblur iterations")
+    p.add_argument("--height", help="Max output height")
+    p.add_argument("--copy_num", help="darktable duplicate number (XMP naming)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--version", action="version", version="nind_denoise_tpu")
+    p.add_argument("--use-gmic", dest="use_gmic", action="store_true",
+                   help="Use the gmic binary for RL-deblur instead of on-device")
+    p.add_argument("--model", default="nind_generator_650.pt",
+                   help="Model registry key (pipeline/operations.yaml)")
+    p.add_argument("--model_path", help="Override generator checkpoint path")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--cs", type=int, help="Override tile size")
+    p.add_argument("--ucs", type=int, help="Override useful tile size")
+    return p
+
+
+def check_good_input(path: pathlib.Path, extensions) -> bool:
+    extensions = [extensions] if isinstance(extensions, str) else list(extensions)
+    if not path.is_file():
+        print(f"This isn't a file: {path} — skipping.")
+        return False
+    if path.suffix.lower() not in extensions:
+        if path.suffix.lower() != ".xmp":
+            print(f"Not a (supported) RAW file: {path}, skipping.")
+        return False
+    return True
+
+
+def get_stage_filepaths(outpath: pathlib.Path, stage: int):
+    """tif = 16-bit, tiff = 32-bit (intentional, denoise.py:259-276)."""
+    if stage == 1:
+        return (outpath.parent / (outpath.stem + "_s1.tif"),
+                outpath.parent / (outpath.stem + "_s1_denoised.tiff"))
+    return outpath.parent / (outpath.stem + "_s2.tif")
+
+
+def resolve_model(args, config) -> dict:
+    mcfg = dict(config["models"][args.model])
+    if args.model_path:
+        mcfg["path"] = args.model_path
+    if not os.path.isabs(mcfg["path"]):
+        mcfg["path"] = os.path.join(os.getcwd(), mcfg["path"])
+    if not os.path.exists(mcfg["path"]) and "url" in mcfg:
+        print(f"Model checkpoint missing; downloading from {mcfg['url']} ...")
+        external.download_model(mcfg["url"], mcfg["path"])
+    return mcfg
+
+
+def _run_denoiser(mcfg: dict, in_fpath: pathlib.Path, out_fpath: pathlib.Path,
+                  batch_size: int, cs=None, ucs=None) -> None:
+    """In-process equivalent of the denoise_image.py subprocess."""
+    from . import denoise_image_cli
+
+    argv = ["-i", str(in_fpath), "-o", str(out_fpath),
+            "--network", mcfg.get("network", "UtNet"),
+            "--model_path", mcfg["path"],
+            "--batch_size", str(batch_size)]
+    if cs:
+        argv += ["--cs", str(cs)]
+    if ucs:
+        argv += ["--ucs", str(ucs)]
+    ns = denoise_image_cli.build_parser().parse_known_args_layered(argv)[0]
+    if mcfg.get("activation"):
+        ns.model_parameters = f"activation={mcfg['activation']}"
+    denoise_image_cli.run(ns)
+
+
+def _rl_deblur_ondevice(in_fpath: pathlib.Path, out_fpath: pathlib.Path,
+                        sigma: int, iterations: int, quality: str,
+                        verbose: bool = False) -> None:
+    import cv2
+
+    from ..ops import rl_deblur
+
+    img = imgio.load_img(str(in_fpath)).transpose(1, 2, 0)  # [0,1] HWC
+    u8 = rl_deblur.rl_deblur_to_uint8(img, float(sigma), int(iterations))
+    bgr = cv2.cvtColor(u8, cv2.COLOR_RGB2BGR)
+    if out_fpath.suffix.lower() in (".jpg", ".jpeg"):
+        cv2.imwrite(str(out_fpath), bgr, [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
+    else:
+        cv2.imwrite(str(out_fpath), bgr)
+    if verbose:
+        print(f"Applied on-device RL-deblur to: {out_fpath}")
+
+
+def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
+    print(input_path)
+    output_dir = pathlib.Path(args.output_path) if args.output_path else input_path.parent
+    ext = "." + args.extension if args.extension[0] != "." else args.extension
+    outpath = output_dir if output_dir.suffix != "" \
+        else (output_dir / input_path.name).with_suffix(ext)
+
+    # darktable duplicate naming (--copy_num, denoise.py:342-350)
+    if args.copy_num:
+        n = int(args.copy_num)
+        copy_number = f"_0{args.copy_num}" if 0 < n < 10 else \
+            (f"_{args.copy_num}" if 9 < n < 100 else "")
+        input_xmp = input_path.with_stem(input_path.stem + copy_number) \
+            .with_suffix(input_path.suffix + ".xmp")
+    else:
+        input_xmp = input_path.with_suffix(input_path.suffix + ".xmp")
+    if args.verbose:
+        print(input_xmp)
+
+    sigma = int(args.sigma or 1)
+    quality = args.quality or "90"
+    iterations = args.iterations or "10"
+
+    config = xmp.read_config(nightmode=args.nightmode, verbose=args.verbose)
+    cmd_darktable = external.find_darktable(args.dt)
+    cmd_gmic = external.find_gmic(args.gmic) if args.use_gmic else None
+
+    rldeblur = not args.no_deblur
+
+    if cmd_darktable is None and not args.tiff_input:
+        print("Error: darktable-cli not found and input is RAW.")
+        raise FileNotFoundError("darktable-cli")
+
+    good_file = ((args.tiff_input and check_good_input(input_path, [".tif", ".tiff"]))
+                 or check_good_input(input_path, VALID_EXTENSIONS)
+                 or check_good_input(input_xmp, ".xmp"))
+    if not good_file:
+        print("The input raw-image or its XMP were not found, or are not valid.")
+        raise FileNotFoundError(input_path)
+
+    i = 1
+    while outpath.exists():
+        outpath = outpath.with_stem(outpath.stem + "_" + str(i))
+        i += 1
+        if i >= 99:
+            raise FileExistsError(f"too many files with the same name near {outpath}")
+
+    # stage paths derive from the collision-resolved output name (the
+    # reference computed them before the collision loop, which in
+    # --no_deblur mode could delete its own output; fixed here)
+    s1_fpath, s1_denoised_fpath = get_stage_filepaths(outpath, 1)
+    s2_fpath = get_stage_filepaths(outpath, 2)
+    if not rldeblur:
+        s2_fpath = outpath  # no deblur stage -> stage 2 writes the final file
+
+    have_xmp = input_xmp.is_file()
+    if not args.tiff_input:
+        xmp.split_history(input_xmp, config=config, verbose=args.verbose)
+        s1_fpath.unlink(missing_ok=True)
+        external.run_darktable_stage1(cmd_darktable, input_path,
+                                      input_xmp.with_suffix(".s1.xmp"), s1_fpath)
+    else:
+        s1_fpath = input_path
+        if have_xmp:
+            xmp.split_history(input_xmp, config=config, verbose=args.verbose)
+        else:
+            print("Warning: no XMP sidecar; stage-2 darktable ops unavailable.")
+
+    # ---- denoise (in-process, on-device) ----
+    s1_denoised_fpath.unlink(missing_ok=True)
+    mcfg = resolve_model(args, config)
+    _run_denoiser(mcfg, s1_fpath, s1_denoised_fpath, args.batch_size,
+                  cs=args.cs, ucs=args.ucs)
+    if not s1_denoised_fpath.exists():
+        raise RuntimeError(f"denoiser did not produce {s1_denoised_fpath}")
+    exif_mod.clone_exif(input_path, s1_denoised_fpath, verbose=args.verbose)
+
+    # ---- stage 2 (darktable ops on the denoised image) ----
+    if rldeblur and s2_fpath.is_file():
+        s2_fpath.unlink()
+    if cmd_darktable is not None and have_xmp:
+        external.run_darktable_stage2(cmd_darktable, s1_denoised_fpath,
+                                      input_xmp.with_suffix(".s2.xmp"),
+                                      s2_fpath, height=args.height or "0")
+    else:
+        print("Warning: skipping darktable stage 2 (missing binary or XMP); "
+              "writing denoised image as stage-2 output.")
+        img = imgio.load_img(str(s1_denoised_fpath))
+        imgio.save_img(img, str(s2_fpath))
+
+    # ---- RL-deblur ----
+    if rldeblur:
+        if args.use_gmic and cmd_gmic is not None:
+            restore = None
+            if " " in outpath.name:  # gmic can't handle spaces (denoise.py:464-469)
+                restore = outpath.name
+                outpath = outpath.rename(outpath.with_name(outpath.name.replace(" ", "_")))
+            external.run_gmic_rl_deblur(cmd_gmic, s2_fpath, outpath.name,
+                                        sigma, int(iterations), quality)
+            if restore is not None:
+                outpath = outpath.replace(outpath.with_name(restore))
+        else:
+            _rl_deblur_ondevice(s2_fpath, outpath, sigma, iterations, quality,
+                                verbose=args.verbose)
+
+    exif_mod.clone_exif(s1_fpath, outpath, verbose=args.verbose)
+
+    if not args.debug:
+        for f in [s1_fpath, s1_denoised_fpath, s2_fpath,
+                  input_xmp.with_suffix(".s1.xmp"), input_xmp.with_suffix(".s2.xmp")]:
+            if f not in (input_path, outpath):
+                pathlib.Path(f).unlink(missing_ok=True)
+    return outpath
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    input_path = pathlib.Path(args.raw_image)
+    if input_path.is_dir():
+        for f in sorted(input_path.iterdir()):
+            if f.suffix.lower() in VALID_EXTENSIONS:
+                print(f"\n----------------------- {f.name} -------------------------\n")
+                denoise_file(args, f)
+    else:
+        denoise_file(args, input_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""denoise_image — tiled single-image denoising CLI (the compute core).
+
+Surface parity with the reference's denoise_image.py __main__
+(/root/reference/src/nind_denoise/denoise_image.py:180-283): same flags
+(--cs/--ucs/--overlap/-i/-o/-b/--network/--model_path/--model_parameters/
+--max_subpixels/--whole_image/--pad/--exif_method/--debug), same network/
+tile-size autodetection from the model path, same output-extension bit-depth
+conventions. The engine underneath is the TPU-native TileEngine.
+
+egrun:
+    python -m nind_denoise_tpu.pipeline.denoise_image_cli \
+        -i noisy.tif -o denoised.tiff --network UtNet --model_path ckpt.npz
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core import imgio
+from ..core.tiles import default_cs_ucs
+from ..models import params_io
+from ..utils import conf
+from . import exif as exif_mod
+
+
+def autodetect_network_cs_ucs(args) -> None:
+    """Arch from model path; per-arch tile defaults (denoise_image.py:59-79)."""
+    if args.g_network is None:
+        if "unet" in args.model_path.lower():
+            args.g_network = "UNet"
+        elif "utnet" in args.model_path.lower():
+            args.g_network = "UtNet"
+        else:
+            sys.exit("Could not determine network architecture from path. "
+                     "Please specify --network (typically UNet or UtNet)")
+        print(f"Assuming {args.g_network} from path")
+    if args.cs is None or args.ucs is None:
+        args.cs, args.ucs = default_cs_ucs(args.g_network)
+        print(f"cs={args.cs}, ucs={args.ucs}")
+
+
+def parse_model_parameters(strparameters: Optional[str]) -> dict:
+    """'k=v,k=v' model parameter string (nn_common.py:123-124)."""
+    if not strparameters:
+        return {}
+    out = {}
+    for kv in strparameters.split(","):
+        k, v = kv.split("=")
+        out[k] = int(v) if v.isdigit() else v
+    return out
+
+
+def make_output_fpath(input_fpath: str, model_fpath: str) -> str:
+    model_dpath = os.path.dirname(os.path.normpath(model_fpath))
+    out_dir = os.path.join(model_dpath, "test", "denoised_images")
+    os.makedirs(out_dir, exist_ok=True)
+    return os.path.join(out_dir, f"{os.path.basename(input_fpath)}_"
+                                 f"{os.path.basename(model_fpath)}.tif")
+
+
+def build_parser():
+    p = conf.LayeredArgumentParser(
+        description=__doc__, default_config_files=[conf.common_config_fpath()])
+    p.add_argument("--cs", type=int, help="Tile size")
+    p.add_argument("--ucs", type=int, help="Useful tile size")
+    p.add_argument("-ol", "--overlap", default=6, type=int,
+                   help="Merge crops with this much overlap")
+    p.add_argument("-i", "--input", default="in.jpg", type=str)
+    p.add_argument("-o", "--output", type=str,
+                   help="Output file (default: model_dpath/test/denoised_images/fn.tif)")
+    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--exif_method", default="auto", type=str,
+                   help="auto, or noexif to skip EXIF transplant")
+    p.add_argument("--g_network", "--network", "--arch", type=str)
+    p.add_argument("--model_path", help="generator checkpoint (.npz native or torch .pt)")
+    p.add_argument("--model_parameters", type=str,
+                   help='"parameter1=value1,parameter2=value2"')
+    p.add_argument("--max_subpixels", type=int)
+    p.add_argument("--whole_image", action="store_true")
+    p.add_argument("--pad", type=int)
+    p.add_argument("--models_dpath")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--precision", default="default", choices=["default", "float32"])
+    return p
+
+
+def load_generator_params(args):
+    kwargs = parse_model_parameters(args.model_parameters)
+    # activation-from-path hack parity (denoise_image.py:223-225)
+    if not kwargs and args.model_path and "activation" in args.model_path:
+        act = args.model_path.split("activation")[-1].split("_")[1]
+        kwargs["activation"] = act
+        print(f"set model parameters to activation={act} based on model_path")
+    activation = kwargs.pop("activation", "PReLU")
+    kwargs.pop("funit", None)  # funit is encoded in the weights themselves
+    params, state = params_io.load_generator(
+        args.model_path, args.g_network, models_dpath=args.models_dpath)
+    return params, state, activation
+
+
+def run(args) -> str:
+    from ..engine.tile_engine import make_engine  # lazy: imports jax
+
+    assert args.model_path is not None, "--model_path is required"
+    autodetect_network_cs_ucs(args)
+    if args.output is None:
+        args.output = make_output_fpath(args.input, args.model_path)
+
+    params, state, activation = load_generator_params(args)
+    if args.g_network == "UNet":
+        params = (params, state)
+    engine = make_engine(args.g_network, params, cs=args.cs, ucs=args.ucs,
+                         activation=activation, ol=args.overlap,
+                         batch_size=args.batch_size,
+                         compute_dtype=args.compute_dtype,
+                         precision=args.precision,
+                         max_subpixels=args.max_subpixels)
+
+    start_time = time.time()
+    img = imgio.load_img(args.input)
+    if args.whole_image:
+        out_chw = engine.denoise_whole(img, pad=args.pad or 0)
+        imgio.save_img(out_chw, args.output)
+    else:
+        ext = os.path.splitext(args.output)[1].lower()
+        # quantize on device to minimize the downlink (engine docstring)
+        if ext in (".png", ".tif"):
+            out = engine.denoise_raw(img.transpose(1, 2, 0), 1.0, out_dtype="uint16")
+            imgio_save_uint16(out, args.output)
+        elif ext in (".jpg", ".jpeg"):
+            out = engine.denoise_raw(img.transpose(1, 2, 0), 1.0, out_dtype="uint8")
+            imgio_save_uint8(out, args.output)
+        else:  # .tiff fp32, unclipped
+            out = engine.denoise_raw(img.transpose(1, 2, 0), 1.0,
+                                     out_dtype="float32"
+                                     if args.precision == "float32" else "float16")
+            imgio.save_img(out.astype(np.float32).transpose(2, 0, 1), args.output)
+    print(f"Denoised image written to {args.output}")
+
+    if args.exif_method != "noexif":
+        exif_mod.clone_exif(args.input, args.output)
+    print("Elapsed time: " + str(time.time() - start_time) + " seconds")
+    return args.output
+
+
+def imgio_save_uint16(img_hwc: np.ndarray, path: str) -> None:
+    import cv2
+
+    cv2.imwrite(path, cv2.cvtColor(img_hwc, cv2.COLOR_RGB2BGR))
+
+
+def imgio_save_uint8(img_hwc: np.ndarray, path: str, quality: int = 95) -> None:
+    import cv2
+
+    cv2.imwrite(path, cv2.cvtColor(img_hwc, cv2.COLOR_RGB2BGR),
+                [cv2.IMWRITE_JPEG_QUALITY, quality])
+
+
+def main(argv=None):
+    args, _ = build_parser().parse_known_args_layered(argv)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()
