@@ -1,0 +1,146 @@
+"""denoise_dir — batch test/eval harness over a directory or test reserve.
+
+Parity with /root/reference/src/nind_denoise/denoise_dir.py:49-132: resolves
+the sets to denoise from ``--noisy_dir`` or the test-reserve yaml, denoises
+every non-baseline image, scores MSE/SSIM/MS-SSIM against the lowest-ISO
+ground truth, averages per set and overall, and records results into
+``trainres.json`` (best-effort) and ``testres.json``.
+
+TPU-native: ONE TileEngine instance serves every image (the reference shells
+a fresh ``python denoise_image.py`` per image, recompiling everything each
+time; here the compiled tile program is reused across the whole run).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+from ..core.tiles import default_cs_ucs
+from ..models import params_io
+from ..utils import conf, json_saver, utilities
+from . import score
+from ..train.dataset import get_baseline_fpath
+
+
+def build_parser():
+    p = conf.LayeredArgumentParser(
+        description=__doc__, default_config_files=[conf.common_config_fpath()])
+    p.add_argument("--noisy_dir", type=str,
+                   help="directory of test sets (or a directory of images)")
+    p.add_argument("--g_network", "--network", type=str)
+    p.add_argument("--model_path", "--model_fpath")
+    p.add_argument("--model_parameters", default="", type=str)
+    p.add_argument("--result_dir", default="../../results/NIND/test", type=str)
+    p.add_argument("--no_scoring", action="store_true")
+    p.add_argument("--cs", type=int)
+    p.add_argument("--ucs", type=int)
+    p.add_argument("--skip_existing", action="store_true")
+    p.add_argument("--whole_image", action="store_true")
+    p.add_argument("--pad", type=int)
+    p.add_argument("--max_subpixels", type=int)
+    p.add_argument("--test_reserve", nargs="*")
+    p.add_argument("--orig_data")
+    p.add_argument("--models_dpath")
+    p.add_argument("--batch_size", type=int, default=8)
+    return p
+
+
+def main(argv=None):
+    from ..core import imgio
+    from ..engine.tile_engine import make_engine
+    from ..pipeline import denoise_image_cli
+    from ..train.loop import get_test_reserve_list
+
+    args = build_parser().parse_known_args_layered(argv)[0]
+    assert args.model_path is not None
+    denoise_image_cli.autodetect_network_cs_ucs(args)
+    model_path = params_io.complete_path(args.model_path,
+                                         models_dpath=args.models_dpath,
+                                         keyword="generator")
+
+    if args.noisy_dir is not None:
+        sets = sorted(os.listdir(args.noisy_dir))
+        if sets and os.path.isfile(os.path.join(args.noisy_dir, sets[0])):
+            sets = ["."]
+        save_dir = os.path.join(args.result_dir,
+                                model_path.split(os.sep)[-2]
+                                if os.sep in model_path else "model")
+    else:
+        sets = get_test_reserve_list(args.test_reserve)
+        args.noisy_dir = args.orig_data
+        reserve_tag = (utilities.get_leaf(args.test_reserve[0])
+                       if len(args.test_reserve) == 1
+                       and os.path.isfile(args.test_reserve[0])
+                       else str(args.test_reserve))
+        save_dir = os.path.join(utilities.get_root(model_path), "test",
+                                utilities.get_leaf(model_path), reserve_tag)
+    os.makedirs(save_dir, exist_ok=True)
+
+    # one engine for the whole run
+    args.model_path = model_path
+    params, state, activation = denoise_image_cli.load_generator_params(args)
+    if args.g_network == "UNet":
+        params = (params, state)
+    engine = make_engine(args.g_network, params, cs=args.cs, ucs=args.ucs,
+                         activation=activation, batch_size=args.batch_size,
+                         max_subpixels=args.max_subpixels)
+
+    losses_per_set: List[dict] = []
+    for aset in sets:
+        set_dir = os.path.join(args.noisy_dir, aset)
+        baseline = get_baseline_fpath(set_dir)
+        losses_per_img = []
+        for fn in sorted(os.listdir(set_dir)):
+            in_fpath = os.path.join(set_dir, fn)
+            if in_fpath == baseline or not os.path.isfile(in_fpath):
+                continue
+            out_fpath = os.path.join(save_dir, fn)
+            if out_fpath.endswith("jpg"):
+                out_fpath += ".tif"
+            if not (os.path.isfile(out_fpath) and args.skip_existing):
+                img = imgio.load_img(in_fpath)
+                if args.whole_image:
+                    out = engine.denoise_whole(img, pad=args.pad or 128)
+                    imgio.save_img(out, out_fpath)
+                else:
+                    out = engine.denoise_raw(img.transpose(1, 2, 0), 1.0,
+                                             out_dtype="uint16")
+                    denoise_image_cli.imgio_save_uint16(out, out_fpath)
+            cur = score.get_losses(baseline, out_fpath)
+            print(f"in: {in_fpath}, out: {out_fpath}, clean: {baseline}")
+            print(cur)
+            losses_per_img.append(cur)
+        if losses_per_img:
+            losses_per_set.append(utilities.avg_listofdicts(losses_per_img))
+    overall = utilities.avg_listofdicts(losses_per_set)
+    print(overall)
+
+    # record into trainres.json (best-effort) + testres.json (denoise_dir.py:105-129)
+    epoch = None
+    try:
+        epoch = int(utilities.get_leaf(model_path).split("_")[1].split(".")[0])
+        js = json_saver.JSONSaver(os.path.join(utilities.get_root(model_path),
+                                               "trainres.json"), step_type="epoch")
+        js.add_res(step=epoch, res=overall, key_prefix="test_")
+    except (ValueError, IndexError) as e:
+        print(f"Cannot determine epoch from model_path {model_path} ({e})")
+    try:
+        js = json_saver.JSONSaver(os.path.join(utilities.get_root(model_path),
+                                               "testres.json"), step_type="epoch")
+        js.add_res(step=epoch if epoch is not None else 0, res=overall,
+                   key_prefix="test_")
+    except Exception as e:
+        print(f"testres saver failed ({e}); dumping raw")
+        utilities.dict_to_json(overall, os.path.join(
+            utilities.get_root(model_path), "testres.json"))
+    if not args.no_scoring and sets and sets != ["."]:
+        try:
+            score.gen_score(save_dir, os.path.join(args.noisy_dir, sets[0]))
+        except Exception as e:
+            print(f"legacy scorer skipped: {e}")
+    return overall
+
+
+if __name__ == "__main__":
+    main()

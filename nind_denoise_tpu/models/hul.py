@@ -108,8 +108,7 @@ class _HulBase:
     def init(cls, key, input_channels: Optional[int] = None, funit: int = 32,
              out_activation: str = "PReLU", **_ignored) -> Tuple[Dict, Dict]:
         cin_raw = cls.default_in if input_channels is None else int(input_channels)
-        params: Dict = {"_meta": {"funit": funit, "out_activation": out_activation,
-                                  "in_channels": cin_raw}}
+        params: Dict = {}
         state: Dict = {}
         keys = jax.random.split(key, 64)
         ki = iter(keys)
@@ -160,8 +159,9 @@ class _HulBase:
 
     @classmethod
     def apply(cls, params: Dict, x: jnp.ndarray, state: Dict, train: bool = False,
-              **_ignored):
-        """x: NHWC (112x112 crops canonically). Returns (pred, new_state)."""
+              out_activation: str = "PReLU", **_ignored):
+        """x: NHWC (112x112 crops canonically). Returns (pred, new_state).
+        ``out_activation`` must match what init was given (static)."""
         ns: Dict = {}
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
         s1, ns["enc112to108std"] = cls._block(params, state, "enc112to108std", x, train)
@@ -183,11 +183,11 @@ class _HulBase:
         d, ns["enc6to2dil"] = cls._block(params, state, "enc6to2dil", layer, train)
         layer = cat(s, d)
         layer, ns["decide"] = cls._block(params, state, "decide", layer, train, is_decide=True)
-        if params["_meta"]["out_activation"] == "PReLU":
+        if out_activation == "PReLU":
             layer = C.prelu(layer, params["_out_a"])
-        elif params["_meta"]["out_activation"] == "Sigmoid":
+        elif out_activation == "Sigmoid":
             layer = jax.nn.sigmoid(layer)
-        elif params["_meta"]["out_activation"] == "LeakyReLU":
+        elif out_activation == "LeakyReLU":
             layer = jax.nn.leaky_relu(layer, 0.01)
         return layer, ns
 

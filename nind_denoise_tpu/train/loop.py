@@ -1,0 +1,479 @@
+"""nn_train — train a denoising generator (+ up to 2 cGAN discriminators).
+
+Behavioral parity with /root/reference/src/nind_denoise/nn_train.py:118-448:
+layered YAML config (common + train defaults + --config/--config2), loss
+weights {SSIM, MSSSIM, L1, MSE, D1, D2} normalized to 1, experiment dir named
+by timestamp + argv, Printer tee to train.log, JSONSaver trainres.json with
+best tracking, per-epoch checkpointing with retention of only the best
+epochs, validation every ``validation_interval``, optional whole-image test,
+manual patience-window LR decay, stochastic discriminator/generator
+scheduling with fuzzy targets, ``--freeze_generator`` warm-up, ``time_limit``
+and ``min_lr`` stops, and debug options
+{short_run, check_dataset, output_val_images, output_test_images,
+keep_all_output_images}.
+
+TPU-native: jitted functional train steps (train/steps.py), Adam-amsgrad via
+optax, bfloat16-optional compute, and data parallelism over all visible
+devices (batch sharded on a ('data',) mesh; params replicated; XLA inserts
+the gradient all-reduce) — the reference is single-device only.
+
+egrun (dummy run first, as the reference README prescribes):
+    python -m nind_denoise_tpu.train.loop --config \
+        nind_denoise_tpu/configs/train_conf_utnet_simple.yaml \
+        --debug_options short_run output_val_images --epochs 3
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime
+import os
+import random
+import shutil
+import statistics
+import sys
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import yaml
+
+from ..models import params_io
+from ..utils import conf, json_saver
+from ..utils.log import Printer
+from . import dataset as ds_mod
+
+DEBUG_OPTIONS = ("short_run", "check_dataset", "output_val_images",
+                 "output_test_images", "keep_all_output_images")
+
+
+def build_parser():
+    cfg_dir = conf.default_configs_dir()
+    p = conf.LayeredArgumentParser(
+        description=__doc__,
+        default_config_files=[os.path.join(cfg_dir, "common_conf_default.yaml"),
+                              os.path.join(cfg_dir, "train_conf_defaults.yaml")])
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--time_limit", type=int)
+    p.add_argument("--g_activation", type=str, default="PReLU")
+    p.add_argument("--g_funit", type=int, default=32)
+    p.add_argument("--g_model_path")
+    p.add_argument("--models_dpath")
+    p.add_argument("--beta1", type=float)
+    p.add_argument("--g_lr", type=float)
+    p.add_argument("--weight_SSIM", type=float)
+    p.add_argument("--weight_MSSSIM", type=float)
+    p.add_argument("--weight_L1", type=float)
+    p.add_argument("--weight_MSE", type=float)
+    p.add_argument("--test_reserve", nargs="*")
+    p.add_argument("--train_data", nargs="*")
+    p.add_argument("--cs", "--crop_size", type=int)
+    p.add_argument("--min_crop_size", type=int)
+    p.add_argument("--loss_cs", "--loss_crop_size", type=int)
+    p.add_argument("--debug_options", "--debug", nargs="*", default=[])
+    p.add_argument("--g_network", type=str)
+    p.add_argument("--threads", type=int, default=6)
+    p.add_argument("--min_lr", type=float)
+    p.add_argument("--epochs", type=int, default=9001)
+    p.add_argument("--compute_SSIM_anyway", action="store_true")
+    p.add_argument("--freeze_generator", action="store_true")
+    p.add_argument("--start_epoch", default=1, type=int)
+    p.add_argument("--patience", type=int)
+    p.add_argument("--reduce_lr_factor", type=float)
+    p.add_argument("--validation_interval", default=1, type=int)
+    p.add_argument("--test_interval", default=0, type=int)
+    p.add_argument("--orig_data")
+    p.add_argument("--validation_set_yaml")
+    p.add_argument("--exp_mult_min", type=float)
+    p.add_argument("--exp_mult_max", type=float)
+    p.add_argument("--clean_data_dpath")
+    p.add_argument("--clean_data_ratio", type=float)
+    # discriminators
+    p.add_argument("--d_activation", type=str, default="PReLU")
+    p.add_argument("--d2_activation", type=str, default="PReLU")
+    p.add_argument("--d_funit", type=int, default=32)
+    p.add_argument("--d2_funit", type=int, default=32)
+    p.add_argument("--d_model_path")
+    p.add_argument("--d2_model_path")
+    p.add_argument("--d_loss_function", type=str, default="MSE")
+    p.add_argument("--d2_loss_function", type=str, default="MSE")
+    p.add_argument("--d_lr", type=float)
+    p.add_argument("--d2_lr", type=float)
+    p.add_argument("--weight_D1", type=float)
+    p.add_argument("--weight_D2", type=float)
+    p.add_argument("--d_network", type=str, default="Hul112Disc")
+    p.add_argument("--d2_network", type=str, default="Hul112Disc")
+    p.add_argument("--not_conditional", action="store_true")
+    p.add_argument("--not_conditional_2", action="store_true")
+    p.add_argument("--discriminator_advantage", type=float, default=0.0)
+    p.add_argument("--discriminator2_advantage", type=float, default=0.0)
+    # TPU-native extras
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the generator forward (save HBM)")
+    p.add_argument("--seed", type=int, default=123)
+    return p
+
+
+def get_test_reserve_list(test_reserve):
+    """yaml path / '0' / plain list (nn_common.get_test_reserve_list)."""
+    if test_reserve and len(test_reserve) == 1:
+        if str(test_reserve[0]).endswith(".yaml"):
+            with open(test_reserve[0], "r") as fp:
+                return yaml.safe_load(fp)
+        if test_reserve[0] == "0":
+            return []
+    return list(test_reserve or [])
+
+
+def delete_outperformed_models(dpath: str, keepers: set, model_t: str = "generator",
+                               keep_all_output_images: bool = False):
+    """Remove checkpoints / val image dirs for epochs not in keepers
+    (nn_train.py:95-116 parity, .npz extension)."""
+    removed = []
+    for fn in os.listdir(dpath):
+        fpath = os.path.join(dpath, fn)
+        if fn in ("val", "testimages") and not keep_all_output_images:
+            for subdir in os.listdir(fpath):
+                if subdir.isdigit() and int(subdir) not in keepers:
+                    shutil.rmtree(os.path.join(fpath, subdir))
+                    removed.append(os.path.join(fpath, subdir))
+            continue
+        if not fn.startswith(f"{model_t}_"):
+            continue
+        stem = fn.split("_")[1].split(".")[0]
+        if stem.isdigit() and int(stem) not in keepers:
+            os.remove(fpath)
+            removed.append(fpath)
+    return removed
+
+
+class GeneratorWrapper:
+    """Host-side wrapper pairing a param pytree with its jitted steps
+    (reference Generator, nn_common.py:163-272)."""
+
+    def __init__(self, args, weights, apply_fn, init_fn, printer):
+        import jax
+
+        from . import steps
+
+        self.apply_fn = apply_fn
+        self.weights = steps.normalize_weights(weights)
+        self.optimizer = steps.make_optimizer(args.g_lr, args.beta1, amsgrad=True)
+        if args.g_model_path:
+            params, state = params_io.load_generator(
+                args.g_model_path, args.g_network, models_dpath=args.models_dpath)
+        else:
+            params = init_fn(jax.random.PRNGKey(args.seed))
+            state = None
+            if isinstance(params, tuple):
+                params, state = params
+        self.state = steps.TrainState(params, self.optimizer.init(params), state)
+        self.loss = {"weighted": 1.0}
+
+    def get_loss(self, pretty_printed=False, component="weighted"):
+        if pretty_printed:
+            return ", ".join(f"{k}: {v:.3f}" for k, v in self.loss.items()
+                             if v != 1)
+        return self.loss.get(component, 1.0)
+
+    def save_model(self, model_dir, epoch, name="generator"):
+        params_io.save({"params": self.state.params,
+                        "state": self.state.model_state},
+                       os.path.join(model_dir, f"{name}_{epoch}.npz"))
+
+
+def validate_generator(eval_step, gen, validation_set, loss_cs,
+                       output_to_dir: Optional[str] = None) -> float:
+    """Per-epoch validation on fixed crop pairs (nn_train.py:51-71)."""
+    import jax.numpy as jnp
+
+    from ..core import imgio
+
+    losses = []
+    for i in range(len(validation_set)):
+        clean, noisy = validation_set[i]
+        c = jnp.asarray(clean.transpose(1, 2, 0))[None]
+        n = jnp.asarray(noisy.transpose(1, 2, 0))[None]
+        metrics = eval_step(gen.state.params, c, n)
+        if output_to_dir is not None:
+            os.makedirs(output_to_dir, exist_ok=True)
+            den = np.clip(np.asarray(gen.apply_fn(gen.state.params, n))[0], 0, 1)
+            imgio.save_img(den.transpose(2, 0, 1),
+                           os.path.join(output_to_dir, f"{i}.tif"))
+        losses.append(float(metrics["weighted"]))
+    return statistics.mean(losses)
+
+
+def test_generator(gen, test_set, weights, output_to_dir: Optional[str] = None) -> float:
+    """Whole-image test (nn_train.py:73-93); device-side here instead of the
+    reference's CPU fallback."""
+    import jax.numpy as jnp
+
+    from ..core import imgio
+    from . import steps as steps_mod
+
+    losses = []
+    for i in range(len(test_set)):
+        clean, noisy = test_set[i]
+        n = jnp.asarray(noisy.transpose(1, 2, 0))[None]
+        c = jnp.asarray(clean.transpose(1, 2, 0))[None]
+        den = jnp.clip(gen.apply_fn(gen.state.params, n), 0, 1)
+        total, _ = steps_mod._quality_losses(den, c, gen.weights)
+        if output_to_dir is not None:
+            os.makedirs(output_to_dir, exist_ok=True)
+            imgio.save_img(np.asarray(den)[0].transpose(2, 0, 1),
+                           os.path.join(output_to_dir, f"{i}.tif"))
+        losses.append(float(total))
+    return statistics.mean(losses)
+
+
+def main(argv=None):
+    import jax
+
+    from ..models import get_network
+    from ..parallel import mesh as pmesh
+    from . import steps
+
+    args = build_parser().parse_args(argv)
+    debug_options = [o for o in args.debug_options if o in DEBUG_OPTIONS]
+
+    weights = {"SSIM": args.weight_SSIM or 0, "MSSSIM": args.weight_MSSSIM or 0,
+               "L1": args.weight_L1 or 0, "MSE": args.weight_MSE or 0,
+               "D1": args.weight_D1 or 0, "D2": args.weight_D2 or 0}
+    weights = steps.normalize_weights(weights)
+    use_d = weights["D1"] > 0
+    use_d2 = weights["D2"] > 0
+
+    expname = (datetime.datetime.now().isoformat()[:-10] + "_"
+               + "_".join(sys.argv).replace("/", "-"))[:255]
+    model_dir = os.path.join(args.models_dpath, expname)
+    os.makedirs(model_dir, exist_ok=True)
+    p = Printer(file_path=os.path.join(model_dir, "train.log"))
+    jsonsaver = json_saver.JSONSaver(os.path.join(model_dir, "trainres.json"),
+                                     step_type="epoch")
+    p.print(args)
+    p.print("cmd: python3 " + " ".join(sys.argv))
+
+    args.test_reserve = get_test_reserve_list(args.test_reserve)
+    p.print(f"test_reserve: {args.test_reserve}")
+
+    if (args.min_crop_size is None or args.min_crop_size == 0) \
+            and "check_dataset" in debug_options:
+        args.min_crop_size = args.cs
+    dataset = ds_mod.DenoisingDataset(
+        args.train_data, test_reserve=args.test_reserve, cs=args.cs,
+        min_crop_size=args.min_crop_size, exp_mult_min=args.exp_mult_min or 1,
+        exp_mult_max=args.exp_mult_max or 1, seed=args.seed)
+    if args.loss_cs is None:
+        args.loss_cs = dataset.min_crop_size
+        assert args.loss_cs is not None
+    if args.cs is None:
+        args.cs = dataset.cs
+    if "short_run" in debug_options:
+        dataset.dataset = dataset.dataset[:3 * args.batch_size]
+
+    if args.clean_data_ratio and args.clean_data_ratio > 0:
+        cc = ds_mod.CleanCleanDataset(args.clean_data_dpath, cs=args.cs,
+                                      seed=args.seed)
+        bs_clean = max(1, int(args.batch_size * args.clean_data_ratio))
+        bs_std = args.batch_size - bs_clean
+        p.print(f"Initialized clean dataset of size {len(cc)}. "
+                f"Clean batch_size = {bs_clean}")
+        clean_loader = ds_mod.Loader(cc, bs_clean, num_threads=1, seed=args.seed)
+        clean_iter = iter(clean_loader)
+    else:
+        cc = clean_loader = clean_iter = None
+        bs_clean, bs_std = 0, args.batch_size
+
+    loader = ds_mod.Loader(dataset, bs_std, shuffle=True, drop_last=True,
+                           num_threads=max(1, min(args.threads, 4)), seed=args.seed)
+
+    # ---- models + jitted steps ----
+    net = get_network(args.g_network)
+    if args.g_network == "UtNet":
+        apply_fn = partial(net.apply, activation=args.g_activation)
+        init_fn = lambda k: net.init(k, funit=args.g_funit,
+                                     activation=args.g_activation)
+    else:  # UNet: thread BN state in eval mode for the training forward
+        def apply_fn(params, x):
+            raise NotImplementedError(
+                "UNet training requires BN state threading; use UtNet or "
+                "extend steps.make_generator_train_step for stateful models")
+        init_fn = lambda k: net.init(k)
+    gen = GeneratorWrapper(args, weights, apply_fn, init_fn, p)
+
+    discs = []
+    from . import gan as gan_mod
+
+    if use_d:
+        discs.append(gan_mod.DiscriminatorWrapper(
+            args, network=args.d_network, funit=args.d_funit, lr=args.d_lr,
+            conditional=not args.not_conditional, seed=args.seed + 1,
+            advantage=args.discriminator_advantage, patience=args.patience))
+    if use_d2:
+        discs.append(gan_mod.DiscriminatorWrapper(
+            args, network=args.d2_network, funit=args.d2_funit, lr=args.d2_lr,
+            conditional=not args.not_conditional_2, seed=args.seed + 2,
+            advantage=args.discriminator2_advantage, patience=args.patience))
+
+    disc_apply_fns = tuple(d.pred_fn for d in discs) + (None,) * (2 - len(discs))
+    train_step = steps.make_generator_train_step(
+        apply_fn, gen.optimizer, weights, args.loss_cs,
+        compute_ssim_anyway=args.compute_SSIM_anyway, remat=args.remat,
+        disc_apply_fns=disc_apply_fns)
+    eval_step = steps.make_generator_eval_step(
+        apply_fn, weights, args.loss_cs,
+        compute_ssim_anyway=args.compute_SSIM_anyway)
+
+    # ---- data parallelism over all visible devices ----
+    ndev = len(jax.devices())
+    mesh = pmesh.make_mesh(ndev) if ndev > 1 and args.batch_size % ndev == 0 else None
+    if mesh is not None:
+        p.print(f"Data-parallel over {ndev} devices")
+        gen.state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, pmesh.replicated(mesh))
+            if hasattr(x, "shape") else x, gen.state)
+
+    # ---- validation / test data ----
+    validation_set = None
+    if args.validation_interval > 0:
+        validation_set = ds_mod.ValidationDataset(args.validation_set_yaml,
+                                                  cs=args.cs)
+        val_dir = (lambda e: os.path.join(model_dir, "val", str(e))) \
+            if "output_val_images" in debug_options else (lambda e: None)
+        validation_loss = validate_generator(eval_step, gen, validation_set,
+                                             args.loss_cs, val_dir(0))
+        jsonsaver.add_res(0, {"validation_loss": validation_loss})
+        p.print(f"Validation loss: {validation_loss}")
+    else:
+        validation_loss = None
+    if args.test_interval > 0:
+        test_set = ds_mod.TestDenoiseDataset(data_dpath=args.orig_data,
+                                             sets=args.test_reserve)
+        test_dir = (lambda e: os.path.join(model_dir, "testimages", str(e))) \
+            if "output_test_images" in debug_options else (lambda e: None)
+
+    with open(os.path.join(model_dir, "config.yaml"), "w") as fp:
+        yaml.dump({k: v for k, v in vars(args).items()}, fp)
+
+    start_time = time.time()
+    loss_hist = collections.deque(maxlen=args.patience)
+    frozen_generator = args.freeze_generator
+    generator_lr = args.g_lr
+    disc_lrs = [d.lr for d in discs]
+    sched_rng = random.Random(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    for epoch in range(args.start_epoch, args.epochs):
+        loss_g, loss_g_ssim = [], []
+        loss_d_lists = [[] for _ in discs]
+        epoch_start = time.time()
+
+        for iteration, (clean_np, noisy_np) in enumerate(loader, 1):
+            if bs_clean > 0:
+                try:
+                    cb = next(clean_iter)
+                except StopIteration:
+                    clean_iter = iter(clean_loader)
+                    cb = next(clean_iter)
+                    p.print("Reloading clean_dataloader")
+                clean_np = np.concatenate([clean_np, cb[0]])
+                noisy_np = np.concatenate([noisy_np, cb[1]])
+            summary = f"Epoch {epoch} batch {iteration}/{len(loader)}: "
+            if mesh is not None:
+                clean, noisy = pmesh.shard_batch(mesh, clean_np, noisy_np)
+            else:
+                clean, noisy = clean_np, noisy_np
+
+            # ---- stochastic D/G scheduling (nn_train.py:325-350) ----
+            d_learns = []
+            for di, d in enumerate(discs):
+                learns = (d.loss + d.advantage) > sched_rng.random() or frozen_generator
+                if learns:
+                    key, sub = jax.random.split(key)
+                    d.learn(sub, clean, noisy, gen, args.loss_cs)
+                    loss_d_lists[di].append(d.loss)
+                    summary += f"loss D{di+1}: {d.loss:.4f} ({d.predictions_range}) "
+                d_learns.append(learns)
+
+            if not discs:
+                g_learns = not frozen_generator
+            else:
+                avg = statistics.mean(d.loss + d.advantage
+                                      for d, l in zip(discs, d_learns) if l) \
+                    if any(d_learns) else 0.0
+                g_learns = not frozen_generator and (
+                    not any(d_learns) or avg < sched_rng.random())
+            if g_learns:
+                disc_params = tuple((d.state.params, d.state.model_state)
+                                    for d in discs) + (None,) * (2 - len(discs))
+                gen.state, metrics = train_step(gen.state, clean, noisy,
+                                                disc_params)
+                gen.loss = {k: float(v) for k, v in metrics.items()}
+                loss_g.append(gen.loss["weighted"])
+                if "SSIM" in gen.loss:
+                    loss_g_ssim.append(gen.loss["SSIM"])
+                summary += f"loss G: {gen.get_loss(pretty_printed=True)}"
+            elif frozen_generator and discs:
+                frozen_generator = discs[0].loss > 0.33 and \
+                    (len(discs) < 2 or discs[1].loss > 0.33)
+            p.print(summary)
+
+        removed = delete_outperformed_models(
+            model_dir, keepers=jsonsaver.get_best_steps(), model_t="generator",
+            keep_all_output_images="keep_all_output_images" in debug_options)
+        if removed:
+            p.print(f"delete_outperformed_models removed {removed}")
+
+        if args.validation_interval > 0 and epoch % args.validation_interval == 0:
+            validation_loss = validate_generator(eval_step, gen, validation_set,
+                                                 args.loss_cs, val_dir(epoch))
+            jsonsaver.add_res(epoch, {"validation_loss": validation_loss},
+                              write=False)
+            p.print(f"Validation loss: {validation_loss}")
+        if args.test_interval > 0 and epoch % args.test_interval == 0:
+            test_loss = test_generator(gen, test_set, weights, test_dir(epoch))
+            jsonsaver.add_res(epoch, {"test_loss": test_loss}, write=False)
+
+        p.print(f"Epoch {epoch} summary:")
+        p.print("Time elapsed (s): %u (epoch), %u (total)"
+                % (time.time() - epoch_start, time.time() - start_time))
+        if loss_g_ssim:
+            jsonsaver.add_res(epoch, {"train_SSIM_loss": statistics.mean(loss_g_ssim)},
+                              write=False)
+        if loss_g:
+            avg_loss = statistics.mean(loss_g)
+            p.print(f"Average weighted loss: {avg_loss}")
+            jsonsaver.add_res(epoch, {"train_weighted_loss": avg_loss}, write=False)
+            lr_loss = validation_loss if validation_loss is not None else avg_loss
+            if loss_hist and max(loss_hist) < lr_loss:
+                gen.state, generator_lr = steps.decay_lr(gen.state,
+                                                         args.reduce_lr_factor)
+                p.print(f"Generator learning rate updated to {generator_lr}")
+            loss_hist.append(lr_loss)
+            jsonsaver.add_res(epoch, {"gen_lr": generator_lr})
+        else:
+            p.print("Generator learned nothing")
+        for di, d in enumerate(discs):
+            if loss_d_lists[di]:
+                avg_d = statistics.mean(loss_d_lists[di])
+                p.print(f"Discriminator{di+1} average normalized loss: {avg_d}")
+                disc_lrs[di] = d.update_learning_rate(avg_d)
+                d.save_model(model_dir, epoch,
+                             "discriminator" if di == 0 else "discriminator2")
+        if not frozen_generator:
+            gen.save_model(model_dir, epoch)
+        if args.time_limit and args.time_limit < time.time() - start_time:
+            p.print("Time is up")
+            return
+        if args.min_lr and generator_lr < args.min_lr and \
+                all(lr is None or lr < args.min_lr for lr in disc_lrs):
+            p.print("Minimum learning rate reached")
+            return
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Tools + eval harness tests: crop grid geometry, crop_ds layout,
+denoise_dir end-to-end on synthetic scenes, grapher, score file metrics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nind_denoise_tpu.tools import crop_ds
+from nind_denoise_tpu.train.dataset import get_baseline_fpath, sort_isos
+
+
+def test_crop_grid_covers_image():
+    grid = crop_ds.crop_grid(500, 300, 256, 192)
+    assert (0, 0) in grid
+    xs = {x for x, _ in grid}
+    ys = {y for _, y in grid}
+    assert max(xs) + 256 == 500  # clamped edge tile
+    assert max(ys) + 256 == 300
+
+
+def test_crop_ds_end_to_end(tmp_path):
+    import cv2
+
+    orig = tmp_path / "DS"
+    for iso in ("ISO200", "ISO3200"):
+        d = orig / "scene1"
+        d.mkdir(parents=True, exist_ok=True)
+        img = (np.random.default_rng(0).random((300, 400, 3)) * 65535).astype(np.uint16)
+        cv2.imwrite(str(d / f"DS_scene1_{iso}.png"), img)
+    res = tmp_path / "cropped"
+    crop_ds.main(["--cs", "128", "--stride", "96", "--orig_data", str(orig),
+                  "--resdir", str(res), "--workers", "1"])
+    out_root = res / "DS_128_96"
+    assert (out_root / "scene1" / "ISO200").is_dir()
+    crops = list((out_root / "scene1" / "ISO200").iterdir())
+    assert crops and all("_96" in c.stem for c in crops)
+    img = cv2.imread(str(crops[0]), -1)
+    assert img.shape == (128, 128, 3)
+
+    # layout round-trips into DenoisingDataset
+    from nind_denoise_tpu.train.dataset import DenoisingDataset
+
+    ds = DenoisingDataset([str(out_root)], cs=128, seed=0)
+    x, y = ds[0]
+    assert x.shape == (3, 128, 128)
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    """Whole-image test scenes: <root>/<scene>/<name>_ISO<val>.png"""
+    import cv2
+
+    root = tmp_path_factory.mktemp("scenes")
+    rng = np.random.default_rng(0)
+    for scene in ("sceneX",):
+        d = root / scene
+        d.mkdir()
+        base = rng.random((176, 200, 3)).astype(np.float32)  # >= MS-SSIM min 162
+        for iso, sigma in (("ISO100", 0.0), ("ISO3200", 0.08)):
+            img = np.clip(base + rng.normal(0, sigma, base.shape), 0, 1)
+            cv2.imwrite(str(d / f"NIND_{scene}_{iso}.png"),
+                        (img * 65535).astype(np.uint16))
+    return str(root)
+
+
+def test_get_baseline(scene_dir):
+    b = get_baseline_fpath(os.path.join(scene_dir, "sceneX"))
+    assert b.endswith("ISO100.png")
+
+
+def test_denoise_dir_end_to_end(scene_dir, tmp_path):
+    import jax
+
+    from nind_denoise_tpu.eval import denoise_dir
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.models.utnet import UtNet
+
+    ckpt_dir = tmp_path / "run"
+    ckpt_dir.mkdir()
+    params = params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=2),
+                            str(ckpt_dir / "generator_5.npz"))
+    overall = denoise_dir.main([
+        "--model_path", str(ckpt_dir / "generator_5.npz"),
+        "--network", "UtNet", "--cs", "104", "--ucs", "88",
+        "--noisy_dir", scene_dir,
+        "--result_dir", str(tmp_path / "results"),
+        "--batch_size", "2", "--no_scoring",
+    ])
+    assert set(overall) == {"mse", "ssim", "msssim"}
+    assert all(np.isfinite(v) for v in overall.values())
+    # results recorded next to the checkpoint
+    assert (ckpt_dir / "trainres.json").is_file()
+    assert (ckpt_dir / "testres.json").is_file()
+
+
+def test_grapher(tmp_path):
+    from nind_denoise_tpu.eval import grapher
+
+    d = tmp_path / "exp1"
+    d.mkdir()
+    (d / "res.txt").write_text(
+        "filename,ssim,mse\n"
+        "NIND_a_ISO200.png,0.1,0.001\nNIND_a_ISO3200.png,0.3,0.004\n"
+        "NIND_a_ISOH1.png,0.5,0.01\n")
+    out = grapher.plot([str(d)], metric="ssim",
+                       out_fpath=str(tmp_path / "g.png"))
+    assert os.path.isfile(out)
+
+
+def test_score_get_losses(tmp_path):
+    import cv2
+
+    from nind_denoise_tpu.eval import score
+
+    rng = np.random.default_rng(0)
+    a = (rng.random((170, 170, 3)) * 65535).astype(np.uint16)
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    cv2.imwrite(pa, a)
+    cv2.imwrite(pb, a)
+    res = score.get_losses(pa, pb)
+    assert res["mse"] == 0 and abs(res["msssim"]) < 1e-6

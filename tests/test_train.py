@@ -1,0 +1,206 @@
+"""Training stack tests: dataset scanning/sampling/augments, ISO sorting,
+the full nn_train-equivalent loop on a synthetic cropped dataset, and a cGAN
+discriminator learn step."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from nind_denoise_tpu.train import dataset as ds_mod
+
+
+def test_sort_isos():
+    bisos, isos = ds_mod.sort_isos(["ISO6400", "ISO200", "ISOH1", "ISO800"])
+    assert bisos == ["ISO200"]
+    assert isos == ["ISO800", "ISO6400", "ISOH1"]
+
+    bisos, isos = ds_mod.sort_isos(["ISO200", "ISO200-1", "ISO800"])
+    assert set(bisos) == {"ISO200", "ISO200-1"}
+    assert isos == ["ISO800"]
+
+    bisos, isos = ds_mod.sort_isos(["GT-A", "NOISY-B", "NOISY-A"])
+    assert bisos == ["GT-A"]
+    assert isos == ["NOISY-A", "NOISY-B"]
+
+
+@pytest.fixture(scope="module")
+def cropped_ds(tmp_path_factory):
+    """<datadir>/<set>/ISO<val>/<DS>_<set>_<iso>_<x>_<y>_<ucs>.png layout."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("cropped") / "TEST_64_56"
+    rng = np.random.default_rng(0)
+    for aset in ("sceneA", "sceneB", "reservedC"):
+        base = rng.random((72, 72, 3)).astype(np.float32)
+        for iso, sigma in (("ISO200", 0.0), ("ISO1600", 0.05), ("ISO6400", 0.1)):
+            d = root / aset / iso
+            d.mkdir(parents=True, exist_ok=True)
+            for x, y in ((0, 0), (56, 0)):
+                noisy = np.clip(base + rng.normal(0, sigma, base.shape), 0, 1)
+                fn = f"TEST_{aset}_{iso}_{x}_{y}_56.png"
+                cv2.imwrite(str(d / fn), (noisy * 65535).astype(np.uint16))
+    return str(root)
+
+
+def test_denoising_dataset_scan_and_getitem(cropped_ds):
+    ds = ds_mod.DenoisingDataset([cropped_ds], test_reserve=["reserved"],
+                                 cs=64, seed=0)
+    # 2 sets x 2 crops (reservedC excluded by substring match)
+    assert len(ds) == 4
+    x, y = ds[0]
+    assert x.shape == (3, 64, 64) and y.shape == (3, 64, 64)
+    assert x.dtype == np.float32
+    xp, yp = ds.get_x_y_paths(0)
+    assert "ISO200" in xp and os.path.isfile(xp)
+    assert os.path.isfile(yp)
+
+
+def test_dataset_exact_reserve(cropped_ds):
+    ds = ds_mod.DenoisingDataset([cropped_ds], test_reserve=["sceneA"],
+                                 exact_reserve=True, cs=64, seed=0)
+    assert len(ds) == 4  # sceneB + reservedC remain
+
+
+def test_dataset_exposure_mult(cropped_ds):
+    ds = ds_mod.DenoisingDataset([cropped_ds], cs=64, exp_mult_min=0.5,
+                                 exp_mult_max=0.6, seed=1)
+    x, y = ds[0]
+    assert x.max() <= 0.61
+    assert y.max() <= 1.0
+
+
+def test_loader_batches(cropped_ds):
+    ds = ds_mod.DenoisingDataset([cropped_ds], cs=64, seed=0)
+    loader = ds_mod.Loader(ds, batch_size=2, num_threads=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 2
+    x, y = batches[0]
+    assert x.shape == (2, 64, 64, 3)  # NHWC
+
+
+def test_cs_autoparse_from_dirname(cropped_ds):
+    ds = ds_mod.DenoisingDataset([cropped_ds], seed=0)
+    assert ds.cs == 64 and ds.min_crop_size == 56
+
+
+@pytest.fixture(scope="module")
+def validation_yaml(cropped_ds, tmp_path_factory):
+    pairs = []
+    setdir = os.path.join(cropped_ds, "sceneA")
+    for x, y in ((0, 0), (56, 0)):
+        pairs.append([os.path.join(setdir, "ISO200", f"TEST_sceneA_ISO200_{x}_{y}_56.png"),
+                      os.path.join(setdir, "ISO6400", f"TEST_sceneA_ISO6400_{x}_{y}_56.png")])
+    p = tmp_path_factory.mktemp("cfg") / "val.yaml"
+    p.write_text(yaml.safe_dump(pairs))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def cropped_ds_104(tmp_path_factory):
+    """Larger crops (112 px) so UtNet's cs=104 size formula holds."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("cropped104") / "TEST_104_96"
+    rng = np.random.default_rng(3)
+    for aset in ("sceneA", "sceneB"):
+        base = rng.random((112, 112, 3)).astype(np.float32)
+        for iso, sigma in (("ISO200", 0.0), ("ISO6400", 0.1)):
+            d = root / aset / iso
+            d.mkdir(parents=True, exist_ok=True)
+            for x in (0, 96):
+                noisy = np.clip(base + rng.normal(0, sigma, base.shape), 0, 1)
+                fn = f"TEST_{aset}_{iso}_{x}_0_96.png"
+                cv2.imwrite(str(d / fn), (noisy * 65535).astype(np.uint16))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def validation_yaml_104(cropped_ds_104, tmp_path_factory):
+    setdir = os.path.join(cropped_ds_104, "sceneA")
+    pairs = [[os.path.join(setdir, "ISO200", "TEST_sceneA_ISO200_0_0_96.png"),
+              os.path.join(setdir, "ISO6400", "TEST_sceneA_ISO6400_0_0_96.png")]]
+    p = tmp_path_factory.mktemp("cfg104") / "val.yaml"
+    p.write_text(yaml.safe_dump(pairs))
+    return str(p)
+
+
+def test_train_loop_end_to_end(cropped_ds_104, validation_yaml_104, tmp_path):
+    """Two short epochs of the full training CLI: loss recorded, best-epoch
+    retention applied, checkpoints loadable."""
+    from nind_denoise_tpu.train import loop
+
+    models_dir = str(tmp_path / "models")
+    cropped_ds, validation_yaml = cropped_ds_104, validation_yaml_104
+    loop.main([
+        "--train_data", cropped_ds,
+        "--models_dpath", models_dir,
+        "--test_reserve", "0",
+        "--g_network", "UtNet", "--g_funit", "2",
+        "--cs", "104", "--loss_cs", "96",
+        "--weight_MSE", "1", "--weight_MSSSIM", "0",
+        "--batch_size", "2", "--epochs", "3", "--start_epoch", "1",
+        "--g_lr", "1e-3", "--beta1", "0.5", "--patience", "2",
+        "--reduce_lr_factor", "0.95", "--min_lr", "1e-9",
+        "--validation_set_yaml", validation_yaml,
+        "--threads", "1",
+        "--debug_options", "output_val_images",
+    ])
+    exp_dirs = os.listdir(models_dir)
+    assert len(exp_dirs) == 1
+    exp = os.path.join(models_dir, exp_dirs[0])
+    files = os.listdir(exp)
+    assert "trainres.json" in files and "config.yaml" in files and "train.log" in files
+    ckpts = [f for f in files if f.startswith("generator_")]
+    assert ckpts, files
+
+    import json
+
+    res = json.load(open(os.path.join(exp, "trainres.json")))
+    assert "best_epoch" in res and "validation_loss" in res["best_epoch"]
+
+    # the retained checkpoint resolves via directory lookup and loads
+    from nind_denoise_tpu.models import params_io
+
+    best = params_io.complete_path(exp, keyword="generator")
+    tree = params_io.load(best)
+    assert "params" in tree
+
+
+def test_discriminator_learn_step():
+    """One cGAN discriminator learn + predict round (Hul112Disc, 112 crops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nind_denoise_tpu.train import gan, steps
+
+    class A:  # minimal args surrogate
+        beta1 = 0.5
+        models_dpath = None
+
+    d = gan.DiscriminatorWrapper(A, network="Hul112Disc", funit=2, lr=1e-4,
+                                 conditional=True, seed=0, patience=2)
+
+    class G:  # identity "generator"
+        class state:
+            params = {}
+            model_state = None
+        apply_fn = staticmethod(lambda p, x: x)
+
+    rng = np.random.default_rng(0)
+    clean = rng.random((2, 120, 120, 3)).astype(np.float32)
+    noisy = np.clip(clean + 0.1, 0, 1)
+    d.learn(jax.random.PRNGKey(0), clean, noisy, G, loss_cs=112)
+    assert np.isfinite(d.loss) and d.predictions_range is not None
+
+    preds = d.pred_fn((d.state.params, d.state.model_state),
+                      jnp.asarray(clean[:, :112, :112]),
+                      jnp.asarray(noisy[:, :112, :112]))
+    assert np.isfinite(np.asarray(preds)).all()
+
+    # plateau scheduler reduces LR after patience bad epochs
+    lr0 = d.lr
+    for _ in range(5):
+        lr = d.update_learning_rate(1.0)
+    assert lr < lr0
