@@ -115,6 +115,11 @@ class TilePlan:
     def pad_image(self, img_hwc: np.ndarray) -> np.ndarray:
         """Symmetric-pad an (H, W, C) image once for all tile gathers."""
         assert img_hwc.shape[:2] == (self.H, self.W), (img_hwc.shape, self.H, self.W)
+        from . import native
+
+        if native.available() and img_hwc.dtype == np.float32:
+            return native.symmetric_pad(img_hwc, self.pad_top, self.pad_bottom,
+                                        self.pad_left, self.pad_right)
         return np.pad(
             img_hwc,
             ((self.pad_top, self.pad_bottom), (self.pad_left, self.pad_right), (0, 0)),
@@ -129,6 +134,30 @@ class TilePlan:
             s = self.spec(i)
             out[j] = padded_hwc[s.abs_y0:s.abs_y0 + cs, s.abs_x0:s.abs_x0 + cs]
         return out
+
+    def gather_from_source(self, img_hwc: np.ndarray, indices) -> np.ndarray:
+        """Gather tiles straight from the UNPADDED image (native fast path —
+        no padded intermediate copy; numpy fallback pads then slices)."""
+        from . import native
+
+        if native.available() and img_hwc.dtype == np.float32:
+            coords = np.array([[self.spec(i).abs_y0, self.spec(i).abs_x0]
+                               for i in indices], np.int32)
+            return native.gather_tiles(img_hwc, coords, self.cs, self.pad)
+        return self.gather(self.pad_image(img_hwc), indices)
+
+    def tile_specs_arrays(self, indices) -> "tuple[np.ndarray, np.ndarray]":
+        """(coords n x 2 [y0, x0], specs n x 6) int32 arrays for a batch —
+        the same descriptors the device engine and native stitcher consume."""
+        coords = np.zeros((len(indices), 2), np.int32)
+        specs = np.zeros((len(indices), 6), np.int32)
+        for j, i in enumerate(indices):
+            s = self.spec(i)
+            coords[j] = (s.abs_y0, s.abs_x0)
+            specs[j] = (s.useful_h, s.useful_w, s.abs_x0 != 0, s.abs_y0 != 0,
+                        s.abs_x0 + self.ucs < self.W and self.ol > 0,
+                        s.abs_y0 + self.ucs < self.H and self.ol > 0)
+        return coords, specs
 
     def batches(self, batch_size: int) -> Iterator[List[int]]:
         """Tile indices in stitch order, grouped into batches."""
@@ -180,6 +209,14 @@ class TilePlan:
         ``tiles_out``: (B, cs, cs, C) network outputs; the useful ucs x ucs
         slab is weighted and added at each tile's absolute origin.
         """
+        from . import native
+
+        if native.available() and canvas.dtype == np.float32 \
+                and canvas.flags.c_contiguous:
+            coords, specs = self.tile_specs_arrays(indices)
+            native.scatter_add(canvas, tiles_out, coords, specs,
+                               self.pad, self.ucs, self.ol)
+            return
         p, u = self.pad, self.ucs
         for j, i in enumerate(indices):
             s = self.spec(i)
