@@ -4,7 +4,7 @@ Equivalent role to the reference's ``globals()[network]`` arch resolution
 (/root/reference/src/nind_denoise/nn_common.py:131,137), done explicitly.
 """
 
-from . import utnet, unet, hul
+from . import utnet, unet, hul, legacy, p2p
 
 
 def get_network(name: str):
@@ -16,6 +16,13 @@ def get_network(name: str):
         "Hulb112Disc": hul.Hulb112Disc,
         "Hull112Disc": hul.Hull112Disc,
         "Hulf112Disc": hul.Hulf112Disc,
+        "DnCNN": legacy.DnCNN,
+        "RedCNN": legacy.RedCNN,
+        "ResnetGenerator": p2p.ResnetGenerator,
+        "NLayerDiscriminator": p2p.NLayerDiscriminator,
+        "PatchGAN": p2p.NLayerDiscriminator,
+        "PixelDiscriminator": p2p.PixelDiscriminator,
+        "MultiscaleDiscriminator": p2p.MultiscaleDiscriminator,
     }
     if name not in registry:
         raise KeyError(f"unknown network {name!r}; available: {sorted(registry)}")

@@ -22,7 +22,8 @@ def init(c: int) -> Tuple[Dict, Dict]:
     return params, state
 
 
-def apply(params: Dict, state: Dict, x: jnp.ndarray, train: bool):
+def apply(params: Dict, state: Dict, x: jnp.ndarray, train: bool,
+          momentum: float = MOMENTUM, eps: float = EPS):
     """x: NHWC. Returns (y, new_state)."""
     if train:
         xf = x.astype(jnp.float32)
@@ -31,12 +32,20 @@ def apply(params: Dict, state: Dict, x: jnp.ndarray, train: bool):
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
-            "mean": (1 - MOMENTUM) * state["mean"] + MOMENTUM * mean,
-            "var": (1 - MOMENTUM) * state["var"] + MOMENTUM * unbiased,
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
         }
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    inv = jnp.reciprocal(jnp.sqrt(var + EPS))
+    inv = jnp.reciprocal(jnp.sqrt(var + eps))
     y = (x.astype(jnp.float32) - mean) * inv * params["scale"] + params["bias"]
     return y.astype(x.dtype), new_state
+
+
+def instance_norm(x: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
+    """torch InstanceNorm2d defaults (affine=False, no running stats)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)

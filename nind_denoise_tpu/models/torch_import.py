@@ -119,7 +119,7 @@ def _bn(sd, prefix) -> Tuple[Dict, Dict]:
     return p, s
 
 
-def import_unet(fpath_or_sd, find_noise: bool = False) -> Tuple[Dict, Dict]:
+def import_unet(fpath_or_sd) -> Tuple[Dict, Dict]:
     """torch UNet state_dict -> (params, state) for models/unet.py."""
     sd = load_state_dict(fpath_or_sd) if isinstance(fpath_or_sd, str) else fpath_or_sd
 
@@ -131,7 +131,7 @@ def import_unet(fpath_or_sd, find_noise: bool = False) -> Tuple[Dict, Dict]:
         return ({"c0": p0, "bn0": bn0p, "c1": p1, "bn1": bn1p},
                 {"bn0": bn0s, "bn1": bn1s})
 
-    params: Dict = {"find_noise": find_noise}
+    params: Dict = {}
     state: Dict = {}
     params["inc"], state["inc"] = double("inc.conv.conv")
     for i in range(1, 5):

@@ -58,12 +58,12 @@ class UNet:
     kind = "generator"
 
     @staticmethod
-    def init(key, n_channels: int = 3, n_classes: int = 3, find_noise: bool = False,
+    def init(key, n_channels: int = 3, n_classes: int = 3,
              **_ignored) -> Tuple[Dict, Dict]:
         ch = CHANNELS
         keys = iter(jax.random.split(key, 16))
         nk = lambda: next(keys)
-        params: Dict = {"find_noise": find_noise}
+        params: Dict = {}
         state: Dict = {}
         params["inc"], state["inc"] = _init_double(nk(), n_channels, ch[0])
         for i in range(4):
@@ -79,7 +79,7 @@ class UNet:
 
     @staticmethod
     def apply(params: Dict, x: jnp.ndarray, state: Dict, train: bool = False,
-              **_ignored):
+              find_noise: bool = False, **_ignored):
         """x: NHWC. Returns (y, new_state)."""
         new_state: Dict = {}
         x_in = x
@@ -98,6 +98,6 @@ class UNet:
             t = jnp.concatenate([skips[i], t], axis=-1)
             t, new_state[k] = _apply_double(params[k], state[k], t, train)
         t = C.conv2d(t, params["outc"]["w"], params["outc"]["b"], "VALID")
-        if params.get("find_noise"):
+        if find_noise:
             return x_in - jax.nn.sigmoid(t), new_state
         return jax.nn.sigmoid(t), new_state

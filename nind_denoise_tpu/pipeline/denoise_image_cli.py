@@ -88,6 +88,7 @@ def build_parser():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--precision", default="default", choices=["default", "float32"])
+    p.add_argument("--trace_dir", help="capture a jax.profiler trace here")
     return p
 
 
@@ -164,8 +165,11 @@ def imgio_save_uint8(img_hwc: np.ndarray, path: str, quality: int = 95) -> None:
 
 
 def main(argv=None):
+    from ..utils.log import maybe_profile
+
     args, _ = build_parser().parse_known_args_layered(argv)
-    run(args)
+    with maybe_profile(getattr(args, "trace_dir", None)):
+        run(args)
 
 
 if __name__ == "__main__":

@@ -93,7 +93,8 @@ class DiscriminatorWrapper:
 
         clean_c = steps.center_crop(jnp.asarray(clean), loss_cs)
         noisy_c = steps.center_crop(jnp.asarray(noisy), loss_cs)
-        generated = jnp.clip(gen.apply_fn(gen.state.params, jnp.asarray(noisy)), 0, 1)
+        fwd = gen.infer if hasattr(gen, "infer") else gen.apply_fn
+        generated = jnp.clip(fwd(gen.state.params, jnp.asarray(noisy)), 0, 1)
         generated_c = steps.center_crop(generated, loss_cs)
         fake_is_noisy = jnp.asarray(self.loss < 0.25)  # nn_common.py:349-353
         self.state, (loss_real, loss_fake, ranges) = self._step(

@@ -154,24 +154,48 @@ class GeneratorWrapper:
     """Host-side wrapper pairing a param pytree with its jitted steps
     (reference Generator, nn_common.py:163-272)."""
 
-    def __init__(self, args, weights, apply_fn, init_fn, printer):
+    def __init__(self, args, weights, apply_fn, init_fn, printer,
+                 stateful: bool = False):
         import jax
 
         from . import steps
 
         self.apply_fn = apply_fn
+        self.stateful = stateful
         self.weights = steps.normalize_weights(weights)
         self.optimizer = steps.make_optimizer(args.g_lr, args.beta1, amsgrad=True)
+        opt_leaves = None
+        self.resume_epoch = None
         if args.g_model_path:
-            params, state = params_io.load_generator(
-                args.g_model_path, args.g_network, models_dpath=args.models_dpath)
+            fpath = params_io.complete_path(args.g_model_path,
+                                            args.models_dpath, "generator")
+            if fpath.endswith(".npz"):
+                tree = params_io.load(fpath)
+                params = tree["params"] if "params" in tree else tree
+                state = tree.get("state")
+                opt_leaves = tree.get("opt")
+                self.resume_epoch = tree.get("epoch")
+            else:
+                params, state = params_io.load_generator(
+                    fpath, args.g_network, models_dpath=args.models_dpath)
         else:
             params = init_fn(jax.random.PRNGKey(args.seed))
             state = None
             if isinstance(params, tuple):
                 params, state = params
-        self.state = steps.TrainState(params, self.optimizer.init(params), state)
+        opt_state = (steps.restore_opt_state(self.optimizer, params, opt_leaves)
+                     if opt_leaves is not None else self.optimizer.init(params))
+        if opt_leaves is not None:
+            printer.print(f"Restored optimizer state (resume from epoch "
+                          f"{self.resume_epoch})")
+        self.state = steps.TrainState(params, opt_state, state)
         self.loss = {"weighted": 1.0}
+
+    def infer(self, params, x):
+        """Forward pass independent of statefulness (current BN stats)."""
+        if self.stateful:
+            return self.apply_fn(params, x, self.state.model_state)[0]
+        return self.apply_fn(params, x)
 
     def get_loss(self, pretty_printed=False, component="weighted"):
         if pretty_printed:
@@ -180,8 +204,14 @@ class GeneratorWrapper:
         return self.loss.get(component, 1.0)
 
     def save_model(self, model_dir, epoch, name="generator"):
+        """Checkpoint params + BN state + optimizer leaves (the reference
+        never saved Adam state, SURVEY.md §5.4 — resume here is exact)."""
+        from . import steps
+
         params_io.save({"params": self.state.params,
-                        "state": self.state.model_state},
+                        "state": self.state.model_state,
+                        "opt": steps.opt_state_leaves(self.state.opt_state),
+                        "epoch": epoch},
                        os.path.join(model_dir, f"{name}_{epoch}.npz"))
 
 
@@ -197,10 +227,10 @@ def validate_generator(eval_step, gen, validation_set, loss_cs,
         clean, noisy = validation_set[i]
         c = jnp.asarray(clean.transpose(1, 2, 0))[None]
         n = jnp.asarray(noisy.transpose(1, 2, 0))[None]
-        metrics = eval_step(gen.state.params, c, n)
+        metrics = eval_step(gen.state.params, c, n, gen.state.model_state)
         if output_to_dir is not None:
             os.makedirs(output_to_dir, exist_ok=True)
-            den = np.clip(np.asarray(gen.apply_fn(gen.state.params, n))[0], 0, 1)
+            den = np.clip(np.asarray(gen.infer(gen.state.params, n))[0], 0, 1)
             imgio.save_img(den.transpose(2, 0, 1),
                            os.path.join(output_to_dir, f"{i}.tif"))
         losses.append(float(metrics["weighted"]))
@@ -220,7 +250,7 @@ def test_generator(gen, test_set, weights, output_to_dir: Optional[str] = None) 
         clean, noisy = test_set[i]
         n = jnp.asarray(noisy.transpose(1, 2, 0))[None]
         c = jnp.asarray(clean.transpose(1, 2, 0))[None]
-        den = jnp.clip(gen.apply_fn(gen.state.params, n), 0, 1)
+        den = jnp.clip(gen.infer(gen.state.params, n), 0, 1)
         total, _ = steps_mod._quality_losses(den, c, gen.weights)
         if output_to_dir is not None:
             os.makedirs(output_to_dir, exist_ok=True)
@@ -293,17 +323,19 @@ def main(argv=None):
 
     # ---- models + jitted steps ----
     net = get_network(args.g_network)
+    stateful = args.g_network == "UNet"
     if args.g_network == "UtNet":
         apply_fn = partial(net.apply, activation=args.g_activation)
         init_fn = lambda k: net.init(k, funit=args.g_funit,
                                      activation=args.g_activation)
-    else:  # UNet: thread BN state in eval mode for the training forward
-        def apply_fn(params, x):
-            raise NotImplementedError(
-                "UNet training requires BN state threading; use UtNet or "
-                "extend steps.make_generator_train_step for stateful models")
+    else:  # UNet: BatchNorm state threads through the train step
+        apply_fn = lambda params, x, ms: net.apply(params, x, ms, train=True)
         init_fn = lambda k: net.init(k)
-    gen = GeneratorWrapper(args, weights, apply_fn, init_fn, p)
+    gen = GeneratorWrapper(args, weights, apply_fn, init_fn, p,
+                           stateful=stateful)
+    if gen.resume_epoch is not None and args.start_epoch == 1:
+        args.start_epoch = int(gen.resume_epoch) + 1
+        p.print(f"Resuming at epoch {args.start_epoch}")
 
     discs = []
     from . import gan as gan_mod
@@ -323,10 +355,12 @@ def main(argv=None):
     train_step = steps.make_generator_train_step(
         apply_fn, gen.optimizer, weights, args.loss_cs,
         compute_ssim_anyway=args.compute_SSIM_anyway, remat=args.remat,
-        disc_apply_fns=disc_apply_fns)
+        disc_apply_fns=disc_apply_fns, stateful=stateful)
+    eval_fwd = (lambda params, x, ms: net.apply(params, x, ms, train=False)) \
+        if stateful else apply_fn
     eval_step = steps.make_generator_eval_step(
-        apply_fn, weights, args.loss_cs,
-        compute_ssim_anyway=args.compute_SSIM_anyway)
+        eval_fwd, weights, args.loss_cs,
+        compute_ssim_anyway=args.compute_SSIM_anyway, stateful=stateful)
 
     # ---- data parallelism over all visible devices ----
     ndev = len(jax.devices())

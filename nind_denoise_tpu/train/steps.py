@@ -27,6 +27,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..ops import losses as L
@@ -105,15 +106,24 @@ def make_generator_train_step(apply_fn: Callable, optimizer, weights: Dict[str, 
                               loss_cs: int, compute_ssim_anyway: bool = False,
                               remat: bool = False,
                               disc_apply_fns: Tuple[Optional[Callable], ...] = (None, None),
-                              donate: bool = True):
+                              donate: bool = True, stateful: bool = False):
     """Returns jitted ``step(state, clean, noisy, disc_states) ->
     (state, metrics)``. ``disc_apply_fns[i](params_i, state_i, fake_nhwc)``
-    returns discriminator predictions for the D1/D2 fooling terms."""
+    returns discriminator predictions for the D1/D2 fooling terms.
+
+    ``stateful=True`` expects ``apply_fn(params, x, model_state) ->
+    (y, new_model_state)`` (UNet's BatchNorm threading); otherwise
+    ``apply_fn(params, x) -> y``.
+    """
     weights = normalize_weights(weights)
     fwd = jax.checkpoint(apply_fn) if remat else apply_fn
 
-    def loss_fn(params, clean, noisy, disc_params):
-        gen = jnp.clip(fwd(params, noisy), 0.0, 1.0)
+    def loss_fn(params, model_state, clean, noisy, disc_params):
+        if stateful:
+            gen, new_ms = fwd(params, noisy, model_state)
+        else:
+            gen, new_ms = fwd(params, noisy), model_state
+        gen = jnp.clip(gen, 0.0, 1.0)
         gen_c = center_crop(gen, loss_cs)
         clean_c = center_crop(clean, loss_cs)
         noisy_c = center_crop(noisy, loss_cs)
@@ -128,28 +138,34 @@ def make_generator_train_step(apply_fn: Callable, optimizer, weights: Dict[str, 
             metrics[wname] = dloss
             total = total + weights[wname] * dloss
         metrics["weighted"] = total
-        return total, metrics
+        return total, (metrics, new_ms)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, clean, noisy, disc_params=(None, None)):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, clean, noisy, disc_params)
+        (_, (metrics, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.model_state, clean,
+                                   noisy, disc_params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.model_state), metrics
+        return TrainState(params, opt_state, new_ms), metrics
 
     return step
 
 
 def make_generator_eval_step(apply_fn: Callable, weights: Dict[str, float],
-                             loss_cs: int, compute_ssim_anyway: bool = False):
+                             loss_cs: int, compute_ssim_anyway: bool = False,
+                             stateful: bool = False):
     """Jitted validation step -> weighted loss + components (validate_generator
     parity, nn_train.py:51-71)."""
     weights = normalize_weights(weights)
 
-    @jax.jit
-    def step(params, clean, noisy):
-        gen = jnp.clip(apply_fn(params, noisy), 0.0, 1.0)
+    @partial(jax.jit, static_argnames=())
+    def step(params, clean, noisy, model_state=None):
+        if stateful:
+            gen, _ = apply_fn(params, noisy, model_state)
+        else:
+            gen = apply_fn(params, noisy)
+        gen = jnp.clip(gen, 0.0, 1.0)
         gen_c = center_crop(gen, loss_cs)
         clean_c = center_crop(clean, loss_cs)
         total, metrics = _quality_losses(gen_c, clean_c, weights, compute_ssim_anyway)
@@ -218,3 +234,26 @@ def discriminator_scalar_loss(loss_fake: float, loss_real: float) -> float:
     import math
 
     return (math.sqrt(max(loss_fake, 0.0)) + math.sqrt(max(loss_real, 0.0))) / 2.0
+
+
+# -- optimizer-state (de)serialization ----------------------------------------
+# optax states are nested namedtuples which the plain .npz pytree IO cannot
+# reconstruct; store the flattened leaves and re-hydrate into a freshly
+# initialized state of identical structure. (The reference never checkpoints
+# Adam state — resume restarts the optimizer, SURVEY.md §5.4 — this is a
+# deliberate improvement.)
+
+def opt_state_leaves(opt_state):
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(opt_state)]
+
+
+def restore_opt_state(optimizer, params, leaves):
+    fresh = optimizer.init(params)
+    treedef = jax.tree_util.tree_structure(fresh)
+    fresh_leaves = jax.tree_util.tree_leaves(fresh)
+    if len(fresh_leaves) != len(leaves):
+        raise ValueError(
+            f"optimizer state mismatch: {len(fresh_leaves)} leaves expected, "
+            f"{len(leaves)} saved")
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(v) for v in leaves])

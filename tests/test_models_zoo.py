@@ -1,0 +1,166 @@
+"""Zoo breadth tests: DnCNN/RedCNN torch parity, pix2pix nets shape + torch
+parity for the PatchGAN ladder and resnet generator, Hul discriminator shape."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nind_denoise_tpu.models import get_network, hul, legacy, p2p, torch_import
+
+torch = pytest.importorskip("torch")
+from torch import nn  # noqa: E402
+
+
+def test_registry_resolves():
+    for name in ("UtNet", "UNet", "DnCNN", "RedCNN", "ResnetGenerator",
+                 "PatchGAN", "PixelDiscriminator", "MultiscaleDiscriminator",
+                 "Hul112Disc", "Hulb112Disc", "Hull112Disc", "Hulf112Disc"):
+        assert get_network(name) is not None
+    with pytest.raises(KeyError):
+        get_network("NopeNet")
+
+
+def test_dncnn_matches_torch():
+    depth, nch = 6, 8
+    torch.manual_seed(0)
+    layers = [nn.Conv2d(3, nch, 3, padding=1), nn.ReLU()]
+    for _ in range(depth - 2):
+        layers += [nn.Conv2d(nch, nch, 3, padding=1, bias=False),
+                   nn.BatchNorm2d(nch, eps=1e-4, momentum=0.95), nn.ReLU()]
+    layers.append(nn.Conv2d(nch, 3, 3, padding=1, bias=False))
+    tm = nn.Sequential(*layers).eval()
+
+    sd = tm.state_dict()
+    params, state = legacy.DnCNN.init(jax.random.PRNGKey(0), depth=depth,
+                                      n_channels=nch)
+    params["first"] = torch_import._lay(sd, "0", "conv")
+    for i in range(depth - 2):
+        params["mid"][i]["c"] = {"w": torch_import.conv_w(sd[f"{2+3*i}.weight"])}
+        bnp, bns = torch_import._bn(sd, f"{3+3*i}")
+        params["mid"][i]["bn"] = bnp
+        state[f"bn{i}"] = bns
+    params["last"] = {"w": torch_import.conv_w(sd[f"{2+3*(depth-2)}.weight"])}
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 3, 40, 40), dtype=np.float32)
+    with torch.no_grad():
+        ref = (torch.from_numpy(x) - tm(torch.from_numpy(x))).numpy()
+    got, _ = legacy.DnCNN.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                state, train=False, find_noise=True)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref,
+                               atol=3e-5)
+
+
+def test_redcnn_matches_torch():
+    nch, depth, ks = 8, 10, 5
+    torch.manual_seed(1)
+    conv_first = nn.Conv2d(3, nch, ks)
+    conv = nn.Conv2d(nch, nch, ks)
+    deconv = nn.ConvTranspose2d(nch, nch, ks)
+    deconv_last = nn.ConvTranspose2d(nch, 3, ks)
+    relu = nn.ReLU()
+
+    def fwd(x):
+        residuals = []
+        t = relu(conv_first(x))
+        t = relu(conv(t))
+        residuals.append(t.clone())
+        for _ in range((depth - 6) // 2):
+            t = relu(conv(t))
+            t = relu(conv(t))
+            residuals.append(t.clone())
+        t = relu(conv(t))
+        t = relu(deconv(t))
+        t = relu(t + residuals.pop())
+        for _ in range((depth - 6) // 2):
+            t = relu(deconv(t))
+            t = relu(deconv(t))
+            t = relu(t + residuals.pop())
+        t = relu(deconv(t))
+        return relu(deconv_last(t))
+
+    def tc_w(m):  # transposed conv (I,O,k,k) -> flipped HWIO
+        w = m.weight.detach().numpy()[:, :, ::-1, ::-1]
+        return np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+
+    params = {
+        "conv_first": {"w": torch_import.conv_w(conv_first.weight),
+                       "b": torch_import._np(conv_first.bias)},
+        "conv": {"w": torch_import.conv_w(conv.weight),
+                 "b": torch_import._np(conv.bias)},
+        "deconv": {"w": tc_w(deconv), "b": torch_import._np(deconv.bias)},
+        "deconv_last": {"w": tc_w(deconv_last),
+                        "b": torch_import._np(deconv_last.bias)},
+    }
+    rng = np.random.default_rng(2)
+    x = rng.random((1, 3, 48, 48), dtype=np.float32)
+    with torch.no_grad():
+        ref = fwd(torch.from_numpy(x)).numpy()
+    got = legacy.RedCNN.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                              depth=depth)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref,
+                               atol=3e-5)
+
+
+def test_resnet_generator_shapes():
+    params, state = p2p.ResnetGenerator.init(jax.random.PRNGKey(0), ngf=8,
+                                             n_blocks=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    y, _ = p2p.ResnetGenerator.apply(params, x, state, train=False)
+    assert y.shape == (1, 64, 64, 3)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh output
+
+
+def test_patchgan_matches_torch():
+    """4x4 stride-2 ladder parity incl. the asymmetric SAME-like padding."""
+    ndf, n_layers = 8, 2
+    torch.manual_seed(3)
+    seq = [nn.Conv2d(6, ndf, 4, stride=2, padding=1), nn.LeakyReLU(0.2)]
+    c = ndf
+    for i in range(1, n_layers + 1):
+        cout = min(ndf * 2 ** i, ndf * 8)
+        stride = 2 if i < n_layers else 1
+        seq += [nn.Conv2d(c, cout, 4, stride=stride, padding=1),
+                nn.BatchNorm2d(cout), nn.LeakyReLU(0.2)]
+        c = cout
+    seq.append(nn.Conv2d(c, 1, 4, stride=1, padding=1))
+    tm = nn.Sequential(*seq).eval()
+
+    sd = tm.state_dict()
+    params, state = p2p.NLayerDiscriminator.init(
+        jax.random.PRNGKey(0), input_nc=6, ndf=ndf, n_layers=n_layers)
+    idxs = [0, 2, 5]
+    for li, (lay, ti) in enumerate(zip(params["layers"], idxs)):
+        lay["c"] = torch_import._lay(sd, str(ti), "conv")
+        if f"n{li}" in state:
+            bnp, bns = torch_import._bn(sd, str(ti + 1))
+            lay["n"] = bnp
+            state[f"n{li}"] = bns
+    params["out"] = torch_import._lay(sd, "8", "conv")
+
+    rng = np.random.default_rng(4)
+    x = rng.random((1, 6, 64, 64), dtype=np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got, _ = p2p.NLayerDiscriminator.apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)), state, train=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_multiscale_discriminator():
+    params, state = p2p.MultiscaleDiscriminator.init(
+        jax.random.PRNGKey(0), input_nc=6, ndf=4, num_D=2)
+    outs, _ = p2p.MultiscaleDiscriminator.apply(
+        params, jnp.zeros((1, 64, 64, 6)), state)
+    assert len(outs) == 2
+    assert outs[1].shape[1] < outs[0].shape[1]  # pyramid
+
+
+def test_hulf112_shapes():
+    params, state = hul.Hulf112Disc.init(jax.random.PRNGKey(0), funit=1)
+    y, _ = hul.Hulf112Disc.apply(params, jnp.zeros((1, 112, 112, 6)), state)
+    assert y.shape[0] == 1 and y.shape[-1] == 1
