@@ -71,23 +71,12 @@ class TileEngine:
         self.params = jax.device_put(params)
         self._step = jax.jit(self._make_step(), donate_argnums=(1,),
                              static_argnames=())
-        self._prep = jax.jit(self._prep_fn, static_argnames=("pads", "bucket_hw"))
         self._finish = jax.jit(self._finish_fn,
                                static_argnames=("h", "w", "out_dtype"))
         self._band = jax.jit(self._band_fn,
                              static_argnames=("height", "w", "out_dtype"))
 
     # -- compiled programs ----------------------------------------------------
-
-    def _prep_fn(self, raw, scale, pads, bucket_hw):
-        """raw (H, W, C) any dtype -> padded compute-dtype image
-        (Hb, Wb, C): normalize, symmetric mirror pad, zero-pad to bucket."""
-        x = raw.astype(jnp.float32) / scale
-        (pt, pb), (pl, pr) = pads
-        x = jnp.pad(x, ((pt, pb), (pl, pr), (0, 0)), mode="symmetric")
-        hb, wb = bucket_hw
-        x = jnp.pad(x, ((0, hb - x.shape[0]), (0, wb - x.shape[1]), (0, 0)))
-        return x.astype(self.compute_dtype)
 
     def _make_step(self):
         pad, ucs, cs, ol = self.pad, self.ucs, self.cs, self.ol
@@ -113,11 +102,16 @@ class TileEngine:
             m = m * jnp.where((bottom == 1) & (r >= h - ol) & (r < h), half, one)
             return m[..., None]
 
-        def step(params, canvas, padded, coords, specs):
-            """canvas (Hg, Wg, C) fp32, donated. padded (Hb, Wb, C) compute
-            dtype. coords (B, 2) int32 gather origins (padded frame).
-            specs (B, 6) int32 mask descriptors (zero row = dummy tile)."""
-            tiles = jax.vmap(lambda yx: gather_one(padded, yx))(coords)
+        cdt = self.compute_dtype
+
+        def step(params, canvas, band, inv_scale, gcoords, scoords, specs):
+            """canvas (Hg, Wg, C) fp32, donated. band (bh, Wb, C) storage
+            dtype (a padded row band; normalization is fused here). gcoords
+            (B, 2) int32 gather origins in the band frame; scoords (B, 2)
+            int32 scatter origins in the canvas frame. specs (B, 6) int32
+            mask descriptors (zero row = dummy tile)."""
+            tiles = jax.vmap(lambda yx: gather_one(band, yx))(gcoords)
+            tiles = tiles.astype(cdt) * inv_scale.astype(cdt)
             if prec == "float32":
                 with jax.default_matmul_precision("highest"):
                     y = self.apply_fn(params, tiles)
@@ -127,12 +121,12 @@ class TileEngine:
             slab = y[:, pad:pad + ucs, pad:pad + ucs, :].astype(jnp.float32) * masks
 
             def body(i, cv):
-                y0 = coords[i, 0]
-                x0 = coords[i, 1]
+                y0 = scoords[i, 0]
+                x0 = scoords[i, 1]
                 cur = lax.dynamic_slice(cv, (y0, x0, 0), (ucs, ucs, cv.shape[2]))
                 return lax.dynamic_update_slice(cv, cur + slab[i], (y0, x0, 0))
 
-            return lax.fori_loop(0, coords.shape[0], body, canvas)
+            return lax.fori_loop(0, gcoords.shape[0], body, canvas)
 
         return step
 
@@ -163,13 +157,39 @@ class TileEngine:
     def plan_for(self, height: int, width: int) -> TilePlan:
         return TilePlan(height, width, self.cs, self.ucs, self.ol)
 
+    @staticmethod
+    def _reflect_rows(j0: int, n: int, height: int) -> np.ndarray:
+        """Symmetric (edge-duplicating) row indices [j0, j0+n) into [0, H)."""
+        j = np.arange(j0, j0 + n)
+        m = np.mod(j, 2 * height)
+        return np.where(m < height, m, 2 * height - 1 - m)
+
+    def _build_band(self, raw_hwc: np.ndarray, plan: TilePlan, r: int,
+                    wb: int) -> np.ndarray:
+        """Host: padded input band for tile row ``r`` -> (cs, wb, C) in the
+        storage dtype. Vertical symmetric reflection via an index gather;
+        horizontal symmetric pad + zero pad to the bucket width."""
+        rows = self._reflect_rows(r * plan.stride - plan.pad, self.cs, plan.H)
+        band = raw_hwc[rows]
+        band = np.pad(band, ((0, 0), (plan.pad_left, plan.pad_right), (0, 0)),
+                      mode="symmetric")
+        if band.shape[1] < wb:
+            band = np.pad(band, ((0, 0), (0, wb - band.shape[1]), (0, 0)))
+        return np.ascontiguousarray(band)
+
     def denoise_raw(self, raw_hwc: np.ndarray, scale: float,
                     out_dtype: str = "float32", progress: bool = False) -> np.ndarray:
-        """Denoise from storage-dtype pixels.
+        """Denoise from storage-dtype pixels, fully streamed.
 
         raw_hwc: (H, W, C) uint8/uint16/float; ``scale`` divides to [0, 1]
         (255, 65535, or 1.0 for already-float data). ``out_dtype``:
         'float32' (unclipped), 'float16', 'uint16', 'uint8' (clipped+scaled).
+
+        The image streams through the chip one tile row at a time: input
+        bands upload ahead on transfer threads while earlier rows compute;
+        normalization is fused into the tile program; finished canvas rows
+        quantize on device and download after all dispatches (device-order
+        execution overlaps them with the remaining compute).
         """
         h, w, c = raw_hwc.shape
         plan = self.plan_for(h, w)
@@ -181,61 +201,76 @@ class TileEngine:
         if raw_hwc.dtype == np.float32 and self.compute_dtype == jnp.bfloat16 \
                 and self.precision != "float32":
             raw_hwc = raw_hwc.astype(np.float16)  # halve wire bytes; <= 5e-4 rel err
-        pads = ((plan.pad_top, plan.pad_bottom), (plan.pad_left, plan.pad_right))
-        hb = _bucket(h + plan.pad_top + plan.pad_bottom)
         wb = _bucket(w + plan.pad_left + plan.pad_right)
-        padded = self._prep(transfer.fast_put(np.ascontiguousarray(raw_hwc)),
-                            jnp.float32(scale), pads=pads, bucket_hw=(hb, wb))
+        inv_scale = jnp.float32(1.0 / scale)
         canvas = jnp.zeros((_bucket(plan.grid_h), _bucket(plan.grid_w), c),
                            jnp.float32)
 
         bsz = self.batch_size
-        nb = math.ceil(plan.ntiles / bsz)
+        n_rows = plan.ipervl + 1
         tiles_per_row = plan.iperhl + 1
-        band_arrays = []  # quantized device bands, dispatched inline
-        fetched_rows = 0  # canvas rows already covered by a band op
+        out_np = {"uint16": np.uint16, "uint8": np.uint8,
+                  "float16": np.float16, "float32": np.float32}[out_dtype]
+        result = np.empty((h, w, c), out_np)
+        fetcher = transfer.AsyncFetcher(out=result)
+        fetched_rows = 0
 
         def flush_final_rows(final_rows: int):
-            """Dispatch quantize ops for canvas rows no future tile touches.
-            The device executes in dispatch order, so fetching these later
-            overlaps with the remaining tile compute. (Fetch threads must not
-            run concurrently with dispatch: the tunnel client deadlocks.)"""
+            """Dispatch quantize ops for canvas rows no future tile touches
+            and hand them to the fetch pool immediately — downloads ride the
+            (full-duplex) tunnel concurrently with later uploads/compute."""
             nonlocal fetched_rows
             band_h = plan.stride
             while final_rows - fetched_rows >= band_h and fetched_rows + band_h <= h:
-                band_arrays.append(self._band(canvas, jnp.int32(fetched_rows),
-                                              height=band_h, w=w,
-                                              out_dtype=out_dtype))
+                fetcher.submit(self._band(canvas, jnp.int32(fetched_rows),
+                                          height=band_h, w=w,
+                                          out_dtype=out_dtype),
+                               row0=fetched_rows)
                 fetched_rows += band_h
 
-        for k, batch in enumerate(plan.batches(bsz)):
-            coords = np.zeros((bsz, 2), np.int32)
-            specs = np.zeros((bsz, 6), np.int32)
-            for j, i in enumerate(batch):
-                s = plan.spec(i)
-                coords[j] = (s.abs_y0, s.abs_x0)  # gather origin == abs origin
-                specs[j] = (s.useful_h, s.useful_w,
-                            s.abs_x0 != 0,
-                            s.abs_y0 != 0,
-                            s.abs_x0 + self.ucs < w and self.ol > 0,
-                            s.abs_y0 + self.ucs < h and self.ol > 0)
-            canvas = self._step(self.params, canvas, padded,
-                                jnp.asarray(coords), jnp.asarray(specs))
-            # tile rows fully dispatched -> canvas rows < row*stride are final
-            done_tile_rows = (batch[-1] + 1) // tiles_per_row
-            flush_final_rows(done_tile_rows * plan.stride)
+        # upload pipeline: keep a few input bands in flight ahead of compute
+        AHEAD = 3
+        futures: Dict[int, object] = {}
+
+        def submit(r: int):
+            if r < n_rows and r not in futures:
+                futures[r] = transfer.submit_put(
+                    lambda r=r: self._build_band(raw_hwc, plan, r, wb))
+
+        for r in range(min(AHEAD, n_rows)):
+            submit(r)
+
+        for r in range(n_rows):
+            band_dev = futures.pop(r).result()
+            submit(r + AHEAD)
+            row_specs = [plan.spec(r * tiles_per_row + xi)
+                         for xi in range(tiles_per_row)]
+            for b0 in range(0, tiles_per_row, bsz):
+                chunk = row_specs[b0:b0 + bsz]
+                gcoords = np.zeros((bsz, 2), np.int32)
+                scoords = np.zeros((bsz, 2), np.int32)
+                specs = np.zeros((bsz, 6), np.int32)
+                for j, s in enumerate(chunk):
+                    gcoords[j] = (0, s.abs_x0)
+                    scoords[j] = (s.abs_y0, s.abs_x0)
+                    specs[j] = (s.useful_h, s.useful_w,
+                                s.abs_x0 != 0,
+                                s.abs_y0 != 0,
+                                s.abs_x0 + self.ucs < w and self.ol > 0,
+                                s.abs_y0 + self.ucs < h and self.ol > 0)
+                canvas = self._step(self.params, canvas, band_dev, inv_scale,
+                                    jnp.asarray(gcoords), jnp.asarray(scoords),
+                                    jnp.asarray(specs))
+            flush_final_rows((r + 1) * plan.stride)
             if progress:
-                print(f"{k}/{nb}")
+                print(f"{r}/{n_rows}")
         if fetched_rows < h:
-            band_arrays.append(self._finish(canvas[fetched_rows:],
-                                            h=h - fetched_rows, w=w,
-                                            out_dtype=out_dtype))
-        # all device work is dispatched; now fetch bands concurrently
-        fetcher = transfer.AsyncFetcher()
-        for band in band_arrays:
-            fetcher.submit(band)
-        bands = fetcher.collect()
-        return np.concatenate(bands, axis=0) if len(bands) > 1 else bands[0]
+            fetcher.submit(self._finish(canvas[fetched_rows:],
+                                        h=h - fetched_rows, w=w,
+                                        out_dtype=out_dtype),
+                           row0=fetched_rows)
+        fetcher.collect()  # waits; threads wrote into `result` directly
+        return result
 
     def denoise_hwc(self, img_hwc: np.ndarray, progress: bool = False) -> np.ndarray:
         """(H, W, C) float32 in [0,1]-ish -> float32, unclipped."""
