@@ -50,44 +50,129 @@ def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 1) -> float
     return mps
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="6 MP instead of 24 MP")
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--funit", type=int, default=64)
-    args = ap.parse_args()
-
-    cpu_mps = measure_cpu_baseline(funit=args.funit)
-
+def bench_tiled(args, cpu_mps, quick=False):
+    """BASELINE config #2: 24 MP tiled denoise, 16-bit in/out product path."""
     import numpy as np
     import jax
 
     from nind_denoise_tpu.models.utnet import UtNet
     from nind_denoise_tpu.engine.tile_engine import make_engine
 
-    h, w = (2000, 3000) if args.quick else (4000, 6000)  # 6 / 24 MP
+    h, w = (2000, 3000) if quick else (4000, 6000)  # 6 / 24 MP
     rng = np.random.default_rng(0)
-    # product path: 16-bit image in, 16-bit image out (denoise_dir writes .tif)
     img = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
 
     params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
     eng = make_engine("UtNet", params, batch_size=args.batch,
                       compute_dtype=args.dtype)
-
     eng.denoise_raw(img, 65535.0, out_dtype="uint16")  # compile + warm
     t0 = time.perf_counter()
     out = eng.denoise_raw(img, 65535.0, out_dtype="uint16")
     dt = time.perf_counter() - t0
     assert out.dtype == np.uint16 and out.shape == (h, w, 3)
-
     mps = (h * w / 1e6) / dt
-    print(json.dumps({
-        "metric": "denoise_throughput_24mp" if not args.quick else "denoise_throughput_6mp",
-        "value": round(mps, 3),
-        "unit": "MP/s",
-        "vs_baseline": round(mps / cpu_mps, 2),
-    }))
+    return {"metric": "denoise_throughput_24mp" if not quick else
+            "denoise_throughput_6mp",
+            "value": round(mps, 3), "unit": "MP/s",
+            "vs_baseline": round(mps / cpu_mps, 2)}
+
+
+def bench_single_tile(args, cpu_mps):
+    """BASELINE config #1: 512x512 single-tile denoise (device compute path,
+    data resident; isolates the model kernel from the tunnel wire)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from nind_denoise_tpu.models.utnet import UtNet
+
+    params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
+    fwd = jax.jit(lambda p, x: UtNet.apply(p, x.astype(jnp.bfloat16)))
+    x = jnp.asarray(np.random.default_rng(0).random((args.batch, 504, 504, 3),
+                                                    dtype=np.float32))
+    np.asarray(fwd(params, x).ravel()[0])
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        y = fwd(params, x)
+    np.asarray(y.ravel()[0])
+    dt = (time.perf_counter() - t0) / reps
+    mps = (args.batch * 480 * 480 / 1e6) / dt
+    return {"metric": "single_tile_compute", "value": round(mps, 2),
+            "unit": "MP/s", "vs_baseline": round(mps / cpu_mps, 2)}
+
+
+def bench_rl(args, cpu_mps):
+    """BASELINE config #3: RL-deblur sigma=1, 10 iterations on 6 MP."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from nind_denoise_tpu.ops import rl_deblur
+
+    img = jnp.asarray(np.random.default_rng(0).random((2000, 3000, 3),
+                                                      dtype=np.float32))
+    np.asarray(rl_deblur.rl_deblur(img, 1.0, 10).ravel()[0])
+    t0 = time.perf_counter()
+    y = rl_deblur.rl_deblur(img, 1.0, 10)
+    np.asarray(y.ravel()[0])
+    dt = time.perf_counter() - t0
+    return {"metric": "rl_deblur_6mp_10iter", "value": round(6.0 / dt, 2),
+            "unit": "MP/s", "vs_baseline": None}
+
+
+def bench_pipeline(args, cpu_mps):
+    """BASELINE config #4 (minus darktable, absent here): TIFF -> denoise ->
+    on-device RL -> JPEG via the real CLI."""
+    import subprocess
+    import tempfile
+
+    import cv2
+    import numpy as np
+
+    import jax
+
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.models.utnet import UtNet
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    with tempfile.TemporaryDirectory() as td:
+        img = (np.random.default_rng(0).random((2000, 3000, 3)) * 65535
+               ).astype(np.uint16)
+        tif = os.path.join(td, "in.tif")
+        cv2.imwrite(tif, img)
+        ckpt = os.path.join(td, "generator_1.npz")
+        params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=args.funit), ckpt)
+        argv = [tif, "--tiff-input", "-o", td, "-e", "jpg",
+                "--model_path", ckpt, "--batch_size", str(args.batch)]
+        denoise_cli.main(argv)  # warm (compiles); second run is steady-state
+        t0 = time.perf_counter()
+        denoise_cli.main(argv)
+        dt = time.perf_counter() - t0
+    return {"metric": "pipeline_tiff_to_jpg_6mp", "value": round(6.0 / dt, 3),
+            "unit": "MP/s", "vs_baseline": None}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="6 MP instead of 24 MP")
+    ap.add_argument("--mode", default="tiled",
+                    choices=["tiled", "single_tile", "rl", "pipeline"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--funit", type=int, default=64)
+    args = ap.parse_args()
+
+    cpu_mps = measure_cpu_baseline(funit=args.funit)
+    if args.mode == "tiled":
+        res = bench_tiled(args, cpu_mps, quick=args.quick)
+    elif args.mode == "single_tile":
+        res = bench_single_tile(args, cpu_mps)
+    elif args.mode == "rl":
+        res = bench_rl(args, cpu_mps)
+    else:
+        res = bench_pipeline(args, cpu_mps)
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":

@@ -198,6 +198,11 @@ class TileEngine:
             raise RuntimeError(
                 f"TileEngine: batch of {self.batch_size * self.cs * self.cs * c} "
                 f"subpixels exceeds max_subpixels={self.max_subpixels}")
+        # 'device': skip banded downloads entirely and hand back the cropped
+        # fp32 canvas as a device array (for on-device post-ops like RL)
+        return_device = out_dtype == "device"
+        if return_device:
+            out_dtype = "float32"
         if raw_hwc.dtype == np.float32 and self.compute_dtype == jnp.bfloat16 \
                 and self.precision != "float32":
             raw_hwc = raw_hwc.astype(np.float16)  # halve wire bytes; <= 5e-4 rel err
@@ -261,9 +266,12 @@ class TileEngine:
                 canvas = self._step(self.params, canvas, band_dev, inv_scale,
                                     jnp.asarray(gcoords), jnp.asarray(scoords),
                                     jnp.asarray(specs))
-            flush_final_rows((r + 1) * plan.stride)
+            if not return_device:
+                flush_final_rows((r + 1) * plan.stride)
             if progress:
                 print(f"{r}/{n_rows}")
+        if return_device:
+            return canvas[:h, :w]
         if fetched_rows < h:
             fetcher.submit(self._finish(canvas[fetched_rows:],
                                         h=h - fetched_rows, w=w,

@@ -125,6 +125,75 @@ def _run_denoiser(mcfg: dict, in_fpath: pathlib.Path, out_fpath: pathlib.Path,
     denoise_image_cli.run(ns)
 
 
+_ENGINE_CACHE: dict = {}
+
+
+def _get_engine(mcfg: dict, args):
+    """Engine memoized per (model, tiling, batch): compiled programs are tied
+    to the TileEngine instance, so directory runs reuse one engine."""
+    from ..engine.tile_engine import make_engine
+    from ..models import params_io
+
+    key = (mcfg["path"], mcfg.get("network", "UtNet"), args.cs, args.ucs,
+           args.batch_size)
+    if key not in _ENGINE_CACHE:
+        params, state = params_io.load_generator(
+            mcfg["path"], mcfg.get("network", "UtNet"))
+        if mcfg.get("network", "UtNet") == "UNet":
+            params = (params, state)
+        _ENGINE_CACHE[key] = make_engine(
+            mcfg.get("network", "UtNet"), params, cs=args.cs, ucs=args.ucs,
+            activation=mcfg.get("activation", "PReLU"),
+            batch_size=args.batch_size)
+    return _ENGINE_CACHE[key]
+
+
+def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
+    """In-memory denoise: file -> DEVICE-resident float32 HWC array (fast
+    path; the result feeds on-device RL without ever crossing the wire)."""
+    engine = _get_engine(mcfg, args)
+    img = imgio.load_img(str(in_fpath))
+    return engine.denoise_raw(img.transpose(1, 2, 0), 1.0, out_dtype="device")
+
+
+def _encode_u8(u8_hwc: np.ndarray, out_fpath: pathlib.Path, quality: str) -> None:
+    import cv2
+
+    bgr = cv2.cvtColor(np.asarray(u8_hwc), cv2.COLOR_RGB2BGR)
+    if out_fpath.suffix.lower() in (".jpg", ".jpeg"):
+        cv2.imwrite(str(out_fpath), bgr, [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
+    else:
+        cv2.imwrite(str(out_fpath), bgr)
+
+
+def _write_encoded(img01_hwc, out_fpath: pathlib.Path, quality: str) -> None:
+    """Device or host float01 image -> 8-bit encode (quantize on device)."""
+    import jax.numpy as jnp
+
+    from ..engine import transfer
+
+    u8 = jnp.round(jnp.clip(jnp.asarray(img01_hwc), 0, 1) * 255).astype(jnp.uint8)
+    _encode_u8(transfer.fast_get(u8), out_fpath, quality)
+
+
+def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
+                      sigma: int, iterations: int, quality: str,
+                      verbose: bool = False) -> None:
+    """On-device RL on a device-resident image, gmic post-op semantics
+    (*65535/256, cut 0-255, round), uint8 quantize on device, single fetch."""
+    import jax.numpy as jnp
+
+    from ..engine import transfer
+    from ..ops import rl_deblur
+
+    img = jnp.clip(jnp.asarray(img01_hwc, jnp.float32), 0, None)
+    u = rl_deblur.rl_deblur(img, float(sigma), int(iterations))
+    u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)).astype(jnp.uint8)
+    _encode_u8(transfer.fast_get(u8), out_fpath, quality)
+    if verbose:
+        print(f"Applied on-device RL-deblur to: {out_fpath}")
+
+
 def _rl_deblur_ondevice(in_fpath: pathlib.Path, out_fpath: pathlib.Path,
                         sigma: int, iterations: int, quality: str,
                         verbose: bool = False) -> None:
@@ -211,9 +280,28 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
         else:
             print("Warning: no XMP sidecar; stage-2 darktable ops unavailable.")
 
+    mcfg = resolve_model(args, config)
+
+    # ---- fast path: no darktable stage 2 and on-device RL -> everything
+    # stays in memory (no intermediate encode/decode round-trips; the
+    # reference pays them only because its stages are separate processes)
+    stage2_runs = cmd_darktable is not None and have_xmp
+    if not stage2_runs and not (args.use_gmic and cmd_gmic) and not args.debug:
+        denoised01 = _denoise_to_array(mcfg, s1_fpath, args)
+        if rldeblur:
+            _rl_array_to_file(denoised01, outpath, sigma, iterations, quality,
+                              verbose=args.verbose)
+        elif outpath.suffix.lower() == ".tiff":
+            imgio.save_img(denoised01.transpose(2, 0, 1), str(outpath))
+        else:
+            _write_encoded(denoised01, outpath, quality)
+        exif_mod.clone_exif(s1_fpath, outpath, verbose=args.verbose)
+        for f in [input_xmp.with_suffix(".s1.xmp"), input_xmp.with_suffix(".s2.xmp")]:
+            pathlib.Path(f).unlink(missing_ok=True)
+        return outpath
+
     # ---- denoise (in-process, on-device) ----
     s1_denoised_fpath.unlink(missing_ok=True)
-    mcfg = resolve_model(args, config)
     _run_denoiser(mcfg, s1_fpath, s1_denoised_fpath, args.batch_size,
                   cs=args.cs, ucs=args.ucs)
     if not s1_denoised_fpath.exists():
@@ -223,7 +311,7 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
     # ---- stage 2 (darktable ops on the denoised image) ----
     if rldeblur and s2_fpath.is_file():
         s2_fpath.unlink()
-    if cmd_darktable is not None and have_xmp:
+    if stage2_runs:
         external.run_darktable_stage2(cmd_darktable, s1_denoised_fpath,
                                       input_xmp.with_suffix(".s2.xmp"),
                                       s2_fpath, height=args.height or "0")
