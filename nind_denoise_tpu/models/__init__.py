@@ -4,7 +4,7 @@ Equivalent role to the reference's ``globals()[network]`` arch resolution
 (/root/reference/src/nind_denoise/nn_common.py:131,137), done explicitly.
 """
 
-from . import utnet, unet, hul, legacy, p2p
+from . import utnet, unet, hul, hul_gen, legacy, p2p
 
 
 def get_network(name: str):
@@ -16,6 +16,8 @@ def get_network(name: str):
         "Hulb112Disc": hul.Hulb112Disc,
         "Hull112Disc": hul.Hull112Disc,
         "Hulf112Disc": hul.Hulf112Disc,
+        "Hulb128Net": hul_gen.Hulb128Net,
+        "Hulbs128Net": hul_gen.Hulbs128Net,
         "DnCNN": legacy.DnCNN,
         "RedCNN": legacy.RedCNN,
         "ResnetGenerator": p2p.ResnetGenerator,

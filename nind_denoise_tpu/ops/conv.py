@@ -54,6 +54,51 @@ def tconv2d_k3s1(x: jnp.ndarray, w_conv: jnp.ndarray,
     return conv2d(x, w_conv, b, padding="FULL")
 
 
+def conv2d_dilated(x: jnp.ndarray, w: jnp.ndarray,
+                   b: Optional[jnp.ndarray] = None,
+                   dilation: int = 2, stride: int = 1) -> jnp.ndarray:
+    """VALID conv with rhs dilation (torch Conv2d(dilation=d, padding=0))."""
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride, stride), padding="VALID",
+        rhs_dilation=(dilation, dilation), dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def tconv2d_k3s1_dil(x: jnp.ndarray, w_conv: jnp.ndarray,
+                     b: Optional[jnp.ndarray] = None,
+                     dilation: int = 2) -> jnp.ndarray:
+    """PyTorch ConvTranspose2d(k=3, s=1, dilation=d, p=0) with the kernel in
+    plain-conv HWIO form: rhs-dilated conv, pad d*(k-1) per side; output
+    spatial = input + 2*d."""
+    d = dilation
+    dn = lax.conv_dimension_numbers(x.shape, w_conv.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w_conv.astype(x.dtype), window_strides=(1, 1),
+        padding=((2 * d, 2 * d), (2 * d, 2 * d)), rhs_dilation=(d, d),
+        dimension_numbers=dn, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def tconv2d_k3s3(x: jnp.ndarray, w_conv: jnp.ndarray,
+                 b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """PyTorch ConvTranspose2d(k=3, s=3, p=0) with the kernel in plain-conv
+    HWIO form: lhs-dilated conv with symmetric padding 2; output = 3x input."""
+    dn = lax.conv_dimension_numbers(x.shape, w_conv.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w_conv.astype(x.dtype), window_strides=(1, 1),
+        padding=((2, 2), (2, 2)), lhs_dilation=(3, 3), dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def upconv2x(x: jnp.ndarray, w_mat: jnp.ndarray,
              b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """PyTorch ConvTranspose2d(k=2, s=2, p=0) as matmul + pixel shuffle.
