@@ -294,9 +294,11 @@ class TileEngine:
         """Whole-image mode (reference --whole_image --pad,
         denoise_image.py:196-197): one forward at full size, side-mirror
         padding with zero corners, crop back."""
+        if not hasattr(self, "_whole_jit"):
+            self._whole_jit = jax.jit(self.apply_fn)  # memoized across calls
         padded = tiles_mod.whole_image_pad(img_chw, pad) if pad else img_chw.astype(np.float32)
         x = jnp.asarray(padded.transpose(1, 2, 0))[None].astype(self.compute_dtype)
-        y = jax.jit(self.apply_fn)(self.params, x)
+        y = self._whole_jit(self.params, x)
         y = np.asarray(y[0]).astype(np.float32).transpose(2, 0, 1)
         if pad:
             y = y[:, pad:-pad, pad:-pad]
