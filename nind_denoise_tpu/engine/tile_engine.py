@@ -31,6 +31,7 @@ Output semantics match the reference: NO clipping before fp32 writes
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
@@ -60,7 +61,8 @@ class TileEngine:
     def __init__(self, apply_fn: Callable, params, cs: int, ucs: int,
                  ol: int = tiles_mod.DEFAULT_OVERLAP, batch_size: int = 4,
                  compute_dtype: str = "bfloat16", precision: str = "default",
-                 max_subpixels: Optional[int] = None):
+                 max_subpixels: Optional[int] = None,
+                 debug_dir: Optional[str] = None):
         self.apply_fn = apply_fn
         self.cs, self.ucs, self.ol = cs, ucs, ol
         self.pad = (cs - ucs) // 2
@@ -68,6 +70,7 @@ class TileEngine:
         self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.precision = precision
         self.max_subpixels = max_subpixels
+        self.debug_dir = debug_dir  # dump noisy/denoised tiles per row (slow)
         self.params = jax.device_put(params)
         self._step = jax.jit(self._make_step(), donate_argnums=(1,),
                              static_argnames=())
@@ -266,6 +269,8 @@ class TileEngine:
                 canvas = self._step(self.params, canvas, band_dev, inv_scale,
                                     jnp.asarray(gcoords), jnp.asarray(scoords),
                                     jnp.asarray(specs))
+            if self.debug_dir:
+                self._dump_debug_tiles(raw_hwc, plan, r, wb, scale)
             if not return_device:
                 flush_final_rows((r + 1) * plan.stride)
             if progress:
@@ -279,6 +284,26 @@ class TileEngine:
                            row0=fetched_rows)
         fetcher.collect()  # waits; threads wrote into `result` directly
         return result
+
+    def _dump_debug_tiles(self, raw_hwc, plan, r, wb, scale):
+        """--debug parity (denoise_image.py:260-266): write each tile's noisy
+        input and denoised output as JPEGs into the debug dir (slow path)."""
+        import cv2
+
+        os.makedirs(self.debug_dir, exist_ok=True)
+        band = self._build_band(raw_hwc, plan, r, wb).astype(np.float32) / scale
+        if not hasattr(self, "_dbg_fwd"):
+            self._dbg_fwd = jax.jit(lambda p, t: self.apply_fn(
+                p, t.astype(self.compute_dtype)))
+        for xi in range(plan.iperhl + 1):
+            s = plan.spec(r * (plan.iperhl + 1) + xi)
+            tile = band[:, s.abs_x0:s.abs_x0 + self.cs]
+            out = np.asarray(self._dbg_fwd(self.params, jnp.asarray(tile)[None]))[0]
+            for tag, arr in (("noisy", tile), ("denoised", out.astype(np.float32))):
+                u8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(self.debug_dir,
+                                         f"crop{r}_{xi}_{tag}.jpg"),
+                            cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
 
     def denoise_hwc(self, img_hwc: np.ndarray, progress: bool = False) -> np.ndarray:
         """(H, W, C) float32 in [0,1]-ish -> float32, unclipped."""

@@ -86,20 +86,36 @@ def main(argv=None):
                          activation=activation, batch_size=args.batch_size,
                          max_subpixels=args.max_subpixels)
 
+    # decode-ahead: the next image decodes on a worker thread while the
+    # current one runs on the device (the reference re-spawned a python
+    # subprocess per image instead)
+    import concurrent.futures as cf
+
+    decode_pool = cf.ThreadPoolExecutor(max_workers=1)
+    pending: dict = {}
+
+    def decode_ahead(fpath):
+        if fpath not in pending:
+            pending[fpath] = decode_pool.submit(imgio.load_img, fpath)
+
     losses_per_set: List[dict] = []
     for aset in sets:
         set_dir = os.path.join(args.noisy_dir, aset)
         baseline = get_baseline_fpath(set_dir)
         losses_per_img = []
-        for fn in sorted(os.listdir(set_dir)):
+        work = [fn for fn in sorted(os.listdir(set_dir))
+                if os.path.isfile(os.path.join(set_dir, fn))
+                and os.path.join(set_dir, fn) != baseline]
+        for idx, fn in enumerate(work):
             in_fpath = os.path.join(set_dir, fn)
-            if in_fpath == baseline or not os.path.isfile(in_fpath):
-                continue
             out_fpath = os.path.join(save_dir, fn)
             if out_fpath.endswith("jpg"):
                 out_fpath += ".tif"
+            if idx + 1 < len(work):
+                decode_ahead(os.path.join(set_dir, work[idx + 1]))
             if not (os.path.isfile(out_fpath) and args.skip_existing):
-                img = imgio.load_img(in_fpath)
+                fut = pending.pop(in_fpath, None)
+                img = fut.result() if fut is not None else imgio.load_img(in_fpath)
                 if args.whole_image:
                     out = engine.denoise_whole(img, pad=args.pad or 128)
                     imgio.save_img(out, out_fpath)

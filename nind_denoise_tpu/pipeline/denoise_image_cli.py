@@ -122,7 +122,8 @@ def run(args) -> str:
                          batch_size=args.batch_size,
                          compute_dtype=args.compute_dtype,
                          precision=args.precision,
-                         max_subpixels=args.max_subpixels)
+                         max_subpixels=args.max_subpixels,
+                         debug_dir="dbg" if args.debug else None)
 
     start_time = time.time()
     img = imgio.load_img(args.input)
