@@ -114,6 +114,15 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the generator forward (save HBM)")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--msssim_warmup_epochs", type=int, default=0,
+                   help="train the first N epochs with MSE before switching "
+                        "to the configured loss. MS-SSIM's relu'd product "
+                        "has zero gradient whenever any scale's cs term goes "
+                        "negative — a randomly initialized generator can "
+                        "start (and stay) in that dead zone; the reference "
+                        "documents the same instability and prescribes "
+                        "re-running (src/nind_denoise/README.md:140). "
+                        "Default 0 = strict reference parity.")
     return p
 
 
@@ -356,6 +365,10 @@ def main(argv=None):
         apply_fn, gen.optimizer, weights, args.loss_cs,
         compute_ssim_anyway=args.compute_SSIM_anyway, remat=args.remat,
         disc_apply_fns=disc_apply_fns, stateful=stateful)
+    warmup_step = steps.make_generator_train_step(
+        apply_fn, gen.optimizer, {"MSE": 1.0}, args.loss_cs,
+        remat=args.remat, stateful=stateful) \
+        if args.msssim_warmup_epochs > 0 else None
     eval_fwd = (lambda params, x, ms: net.apply(params, x, ms, train=False)) \
         if stateful else apply_fn
     eval_step = steps.make_generator_eval_step(
@@ -444,8 +457,12 @@ def main(argv=None):
             if g_learns:
                 disc_params = tuple((d.state.params, d.state.model_state)
                                     for d in discs) + (None,) * (2 - len(discs))
-                gen.state, metrics = train_step(gen.state, clean, noisy,
-                                                disc_params)
+                active_step = warmup_step if (warmup_step is not None and
+                                              epoch - args.start_epoch <
+                                              args.msssim_warmup_epochs) \
+                    else train_step
+                gen.state, metrics = active_step(gen.state, clean, noisy,
+                                                 disc_params)
                 gen.loss = {k: float(v) for k, v in metrics.items()}
                 loss_g.append(gen.loss["weighted"])
                 if "SSIM" in gen.loss:
