@@ -88,7 +88,7 @@ class DenoisingDataset:
                  test_reserve: Sequence[str] = (), min_crop_size: Optional[int] = None,
                  exact_reserve: bool = False, cs: Optional[int] = None,
                  exp_mult_min: float = 1, exp_mult_max: float = 1,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, cache_images: bool = False):
         def is_reserved(aset: str) -> bool:
             if exact_reserve:
                 return bool(test_reserve) and aset in test_reserve
@@ -97,6 +97,9 @@ class DenoisingDataset:
         self.rng = random.Random(seed)
         self.dataset: List[Tuple[str, List[str], List[str]]] = []
         self.min_crop_size = min_crop_size
+        # decode cache for small datasets (decode once, serve from RAM;
+        # the host here has 1 core — decode dominates step time otherwise)
+        self._cache: Optional[Dict[str, np.ndarray]] = {} if cache_images else None
         if cs is not None:
             self.cs = cs
         else:
@@ -188,10 +191,18 @@ class DenoisingDataset:
                                              imgio.CropMethod.RAND, rng=self.rng)
         return ximg, yimg
 
+    def _load(self, fpath: str) -> np.ndarray:
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            return imgio.load_img(fpath)
+        if fpath not in cache:
+            cache[fpath] = imgio.load_img(fpath)
+        return cache[fpath]
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         xpath, ypath = self.get_x_y_paths(index)
-        ximg = imgio.load_img(xpath)
-        yimg = imgio.load_img(ypath)
+        ximg = self._load(xpath)
+        yimg = self._load(ypath)
         ximg, yimg = self.crop_and_pad(ximg, yimg)
         # augmentation: rot90 x k + two flips
         nrot = self.rng.randint(0, 3)

@@ -114,6 +114,9 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the generator forward (save HBM)")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--cache_images", action="store_true",
+                   help="decode training crops once and serve from RAM "
+                        "(small datasets; this host has 1 core)")
     p.add_argument("--msssim_warmup_epochs", type=int, default=0,
                    help="train the first N epochs with MSE before switching "
                         "to the configured loss. MS-SSIM's relu'd product "
@@ -286,6 +289,17 @@ def main(argv=None):
     use_d = weights["D1"] > 0
     use_d2 = weights["D2"] > 0
 
+    # the reference supplies learning rates via its preset configs
+    # (configs/train_conf_*.yaml g_lr); with lr=None optax silently builds
+    # an un-steppable optimizer (and torch Adam rejects it) — fail early.
+    if args.g_lr is None:
+        sys.exit("error: --g_lr is required (set it directly or load a "
+                 "preset, e.g. --config nind_denoise_tpu/configs/"
+                 "train_conf_utnet_std.yaml)")
+    if (use_d and args.d_lr is None) or (use_d2 and args.d2_lr is None):
+        sys.exit("error: --d_lr/--d2_lr are required when the corresponding "
+                 "discriminator weight is non-zero")
+
     expname = (datetime.datetime.now().isoformat()[:-10] + "_"
                + "_".join(sys.argv).replace("/", "-"))[:255]
     model_dir = os.path.join(args.models_dpath, expname)
@@ -305,7 +319,8 @@ def main(argv=None):
     dataset = ds_mod.DenoisingDataset(
         args.train_data, test_reserve=args.test_reserve, cs=args.cs,
         min_crop_size=args.min_crop_size, exp_mult_min=args.exp_mult_min or 1,
-        exp_mult_max=args.exp_mult_max or 1, seed=args.seed)
+        exp_mult_max=args.exp_mult_max or 1, seed=args.seed,
+        cache_images=args.cache_images)
     if args.loss_cs is None:
         args.loss_cs = dataset.min_crop_size
         assert args.loss_cs is not None

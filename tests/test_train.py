@@ -71,6 +71,32 @@ def test_dataset_exposure_mult(cropped_ds):
     assert y.max() <= 1.0
 
 
+def test_dataset_cache_images(cropped_ds, monkeypatch):
+    ds = ds_mod.DenoisingDataset([cropped_ds], cs=64, seed=0,
+                                 cache_images=True)
+    ref = ds_mod.DenoisingDataset([cropped_ds], cs=64, seed=0)
+    # identical sampling/augmentation stream with and without the cache
+    for i in range(len(ds)):
+        xc, yc = ds[i]
+        xr, yr = ref[i]
+        np.testing.assert_array_equal(xc, xr)
+        np.testing.assert_array_equal(yc, yr)
+    # a path decoded once must be served from RAM afterwards (pair sampling
+    # is random per __getitem__, so exercise the _load contract directly)
+    from nind_denoise_tpu.core import imgio
+    xp, _ = ds.get_x_y_paths(0)
+    warm = ds._load(xp)
+
+    def boom(_):
+        raise AssertionError("cache miss: load_img called on warm cache")
+
+    monkeypatch.setattr(imgio, "load_img", boom)
+    again = ds._load(xp)
+    np.testing.assert_array_equal(warm, again)
+    with pytest.raises(AssertionError):
+        ref._load(xp)  # cache off -> always decodes
+
+
 def test_loader_batches(cropped_ds):
     ds = ds_mod.DenoisingDataset([cropped_ds], cs=64, seed=0)
     loader = ds_mod.Loader(ds, batch_size=2, num_threads=2, seed=0)
