@@ -4,7 +4,7 @@ Equivalent role to the reference's ``globals()[network]`` arch resolution
 (/root/reference/src/nind_denoise/nn_common.py:131,137), done explicitly.
 """
 
-from . import utnet, unet, hul, hul_gen, legacy, p2p
+from . import utnet, unet, hul, hul_gen, legacy, p2p, relics
 
 
 def get_network(name: str):
@@ -25,6 +25,17 @@ def get_network(name: str):
         "PatchGAN": p2p.NLayerDiscriminator,
         "PixelDiscriminator": p2p.PixelDiscriminator,
         "MultiscaleDiscriminator": p2p.MultiscaleDiscriminator,
+        # historical relic zoo (reference networks/relics.py)
+        "RedishCNN": relics.RedishCNN,
+        "HunkyDisc": relics.HunkyDisc,
+        "HunkyNet": relics.HunkyNet,
+        "HunNet": relics.HunNet,
+        "HuNet": relics.HuNet,
+        "HuDisc": relics.HuDisc,
+        "Hul144Disc": relics.Hul144Disc,
+        "Hul128Net": relics.Hul128Net,
+        "Hul160Net": relics.Hul160Net,
+        "HulNet": relics.Hul160Net,
     }
     if name not in registry:
         raise KeyError(f"unknown network {name!r}; available: {sorted(registry)}")
