@@ -4,7 +4,7 @@ Equivalent role to the reference's ``globals()[network]`` arch resolution
 (/root/reference/src/nind_denoise/nn_common.py:131,137), done explicitly.
 """
 
-from . import utnet, unet, hul, hul_gen, legacy, p2p, relics
+from . import utnet, unet, hul, hul_gen, legacy, p2p, relics, third_party
 
 
 def get_network(name: str):
@@ -36,6 +36,9 @@ def get_network(name: str):
         "Hul128Net": relics.Hul128Net,
         "Hul160Net": relics.Hul160Net,
         "HulNet": relics.Hul160Net,
+        # torchvision segmentation experiments (gated stubs, see module doc)
+        "MobileNetV3": third_party.MobileNetV3,
+        "deeplabv3_resnet101": third_party.deeplabv3_resnet101,
     }
     if name not in registry:
         raise KeyError(f"unknown network {name!r}; available: {sorted(registry)}")

@@ -374,3 +374,13 @@ def test_relics_registry():
                  "HuDisc", "Hul144Disc", "Hul128Net", "Hul160Net"):
         assert get_network(name) is not None
     assert get_network("HulNet") is relics.Hul160Net  # relics.py:1608 alias
+
+
+def test_torchvision_experiments_are_gated():
+    """MobileNetV3/deeplabv3 stubs resolve and fail with an informative
+    error naming the torchvision+pretrained dependency (upstream parity:
+    ThirdPartyNets.py:186-187 raises NotImplementedError itself)."""
+    for name in ("MobileNetV3", "deeplabv3_resnet101"):
+        net = get_network(name)
+        with pytest.raises(NotImplementedError, match="torchvision"):
+            net.init(jax.random.PRNGKey(0))
