@@ -40,21 +40,29 @@ def gaussian_psf_1d(sigma: float) -> jnp.ndarray:
     return k / k.sum()
 
 
+def _blur_axis(x: jnp.ndarray, k1d: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """1D Gaussian along ``axis`` as unrolled shifted multiply-adds.
+
+    A depthwise/grouped conv with C=3 lowers terribly on TPU (one scalar
+    channel per group, no MXU); tap-unrolled slices fuse into a handful of
+    full-tensor VPU FMAs instead. ``k1d`` is a compile-time constant
+    (sigma is static), so the taps fold into the fused graph."""
+    taps = k1d.shape[0]
+    r = (taps - 1) // 2
+    n = x.shape[axis]
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (r, r)
+    xp = jnp.pad(x, pads, mode="edge")
+    acc = None
+    for t in range(taps):
+        term = k1d[t] * lax.slice_in_dim(xp, t, t + n, axis=axis)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _blur(x: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
     """Separable depthwise Gaussian with edge-replicate boundary. NHWC."""
-    r = (k1d.shape[0] - 1) // 2
-    c = x.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
-    dn = lax.conv_dimension_numbers(xp.shape, (1, 1, 1, c), ("NHWC", "HWIO", "NHWC"))
-    kh = jnp.tile(k1d[:, None, None, None], (1, 1, 1, c))
-    kw = jnp.tile(k1d[None, :, None, None], (1, 1, 1, c))
-    xp = lax.conv_general_dilated(xp, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                  feature_group_count=c,
-                                  preferred_element_type=jnp.float32)
-    xp = lax.conv_general_dilated(xp, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                  feature_group_count=c,
-                                  preferred_element_type=jnp.float32)
-    return xp
+    return _blur_axis(_blur_axis(x, k1d, 1), k1d, 2)
 
 
 @partial(jax.jit, static_argnames=("sigma", "iterations", "dt"))
