@@ -1,15 +1,19 @@
-"""Benchmark: 24 MP tiled denoise throughput on one TPU chip (BASELINE #2).
+"""Benchmark: the BASELINE.md scorecard on one TPU chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line. With no args (the driver's invocation) it runs ALL
+BASELINE configs and emits the 24 MP tiled headline at the top level plus
+the full scorecard:
   {"metric": "denoise_throughput_24mp", "value": <MP/s>, "unit": "MP/s",
-   "vs_baseline": <TPU MP/s divided by torch-CPU MP/s>}
+   "vs_baseline": <TPU MP/s / torch-CPU MP/s>, "scorecard": [<all modes>]}
+
+``--mode <name>`` runs a single config and prints just its line.
 
 The reference publishes no quantitative throughput (SURVEY.md §6); the
 recorded baseline here is the same UtNet(funit=64) forward in torch-CPU on
-this host, measured once and cached in ``bench_baseline.json``. The north
-star (BASELINE.md) asks for >= 10x CPU.
+this host (median of >= 3 reps, cached in ``bench_baseline.json``). The
+north star (BASELINE.md) asks for >= 10x CPU.
 
-Usage: python bench.py [--quick] [--batch N] [--dtype bfloat16|float32]
+Usage: python bench.py [--quick] [--mode M] [--batch N] [--dtype bfloat16|float32]
 """
 
 import argparse
@@ -24,11 +28,15 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
 
-def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 1) -> float:
-    """torch-CPU UtNet MP/s on one tile (cached)."""
+def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 3) -> float:
+    """torch-CPU UtNet MP/s on one tile (median of ``reps`` runs, cached)."""
     if os.path.isfile(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["cpu_mps"]
+            cached = json.load(f)
+        if cached.get("reps", 1) >= reps:
+            return cached["cpu_mps"]
+    import statistics
+
     import numpy as np
     import torch
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -39,13 +47,14 @@ def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 1) -> float
     x = torch.from_numpy(np.random.default_rng(0).random((1, 3, cs, cs)).astype("float32"))
     with torch.no_grad():
         model.forward(x)  # warmup
-        t0 = time.perf_counter()
+        times = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             model.forward(x)
-        dt = (time.perf_counter() - t0) / reps
-    mps = (cs * cs / 1e6) / dt
+            times.append(time.perf_counter() - t0)
+    mps = (cs * cs / 1e6) / statistics.median(times)
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"cpu_mps": mps, "funit": funit, "cs": cs,
+        json.dump({"cpu_mps": mps, "funit": funit, "cs": cs, "reps": reps,
                    "threads": torch.get_num_threads()}, f)
     return mps
 
@@ -198,28 +207,79 @@ def bench_nightmode_batch(args, cpu_mps, n_images: int = 4):
             "value": round(6.0 / dt, 3), "unit": "MP/s", "vs_baseline": None}
 
 
+def bench_train(args, cpu_mps):
+    """Training-step throughput, UtNet-std preset proxy (BASELINE.md: bs=30,
+    cs=loss_cs=184, MS-SSIM loss, Adam-amsgrad; configs/train_conf_utnet_std
+    in /root/reference)."""
+    import numpy as np
+
+    import jax
+
+    from nind_denoise_tpu.models.utnet import UtNet
+    from nind_denoise_tpu.train import steps
+
+    bs, cs = 30, 184
+    params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
+    opt = steps.make_optimizer(lr=1e-4, beta1=0.75, amsgrad=True)
+    state = steps.TrainState(params, opt.init(params))
+    step = steps.make_generator_train_step(
+        lambda p, x: UtNet.apply(p, x), opt, weights={"MSSSIM": 1.0},
+        loss_cs=cs)
+    rng = np.random.default_rng(0)
+    clean = rng.random((bs, cs, cs, 3), dtype=np.float32)
+    noisy = np.clip(clean + rng.normal(0, 0.05, clean.shape), 0, 1
+                    ).astype(np.float32)
+    state, m = step(state, clean, noisy)  # compile + warm
+    assert np.isfinite(float(m["weighted"]))
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, m = step(state, clean, noisy)
+    float(m["weighted"])  # force the chain (block_until_ready no-ops on axon)
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "train_crops_per_s_utnet_std", "value": round(bs / dt, 2),
+            "unit": "crops/s", "vs_baseline": None}
+
+
+MODES = {
+    "tiled": bench_tiled,
+    "single_tile": lambda a, c, quick=False: bench_single_tile(a, c),
+    "rl": lambda a, c, quick=False: bench_rl(a, c),
+    "pipeline": lambda a, c, quick=False: bench_pipeline(a, c),
+    "nightmode_batch": lambda a, c, quick=False: bench_nightmode_batch(a, c),
+    "train": lambda a, c, quick=False: bench_train(a, c),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="6 MP instead of 24 MP")
-    ap.add_argument("--mode", default="tiled",
-                    choices=["tiled", "single_tile", "rl", "pipeline",
-                             "nightmode_batch"])
+    ap.add_argument("--mode", default="all", choices=["all"] + list(MODES))
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--funit", type=int, default=64)
     args = ap.parse_args()
 
+    import contextlib
+
     cpu_mps = measure_cpu_baseline(funit=args.funit)
-    if args.mode == "tiled":
-        res = bench_tiled(args, cpu_mps, quick=args.quick)
-    elif args.mode == "single_tile":
-        res = bench_single_tile(args, cpu_mps)
-    elif args.mode == "rl":
-        res = bench_rl(args, cpu_mps)
-    elif args.mode == "nightmode_batch":
-        res = bench_nightmode_batch(args, cpu_mps)
-    else:
-        res = bench_pipeline(args, cpu_mps)
+    if args.mode != "all":
+        with contextlib.redirect_stdout(sys.stderr):  # CLI modes print
+            res = MODES[args.mode](args, cpu_mps, quick=args.quick)
+        print(json.dumps(res))
+        return
+    # full scorecard: headline (24 MP tiled) at the top level for the
+    # driver's one-line contract, every BASELINE config + train alongside
+    scorecard = []
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
+        for name, fn in MODES.items():
+            try:
+                scorecard.append(fn(args, cpu_mps, quick=args.quick))
+            except Exception as e:  # one broken mode must not hide the rest
+                scorecard.append({"metric": name, "value": None, "unit": None,
+                                  "vs_baseline": None, "error": repr(e)})
+    res = dict(scorecard[0])
+    res["scorecard"] = scorecard
     print(json.dumps(res))
 
 
