@@ -1,10 +1,32 @@
 """Multi-chip tile-parallel inference over a jax.sharding.Mesh.
 
-The image analog of sequence/context parallelism (SURVEY.md §5.7): the
-padded source image is replicated (halos are read-only, so no inter-chip
-exchange is ever needed); each chip gathers and denoises a disjoint subset
-of tiles into its own local canvas; one ``psum`` over the mesh merges the
-canvases. XLA inserts the all-reduce over ICI from the shard_map out-spec.
+The image analog of sequence/context parallelism (SURVEY.md §5.7), laid out
+for real scale-out:
+
+* **Row-band ownership.** Tiles are split row-major into equal contiguous
+  chunks, one per device (±1 tile). Each device receives ONLY the padded
+  input rows its tiles read (a band of height ``(rows_span-1)*stride + cs``)
+  and accumulates into a LOCAL canvas band of height
+  ``(rows_span-1)*stride + ucs`` — never the full canvas.
+* **Zero collectives.** Tiles are disjoint and halos are read-only from the
+  source band, so no inter-chip exchange happens at all; adjacent bands
+  overlap by the ``ol``-row feather strip, merged once on the host after the
+  single download.
+* **One dispatch per image.** Each device loops over its tiles in rounds of
+  ``tiles_per_device`` inside one compiled program (``lax.fori_loop``), so
+  the host does exactly one upload, one step call, one download.
+
+Communication moved per image is therefore proportional to the canvas, not
+canvas x rounds: uploads = padded image + (ndev-1) band overlaps of
+``cs - stride`` rows; downloads = canvas + (ndev-1) overlaps of ``ol`` rows.
+``last_bytes_uploaded``/``last_bytes_downloaded`` record the actual totals
+(excluding the one-time replicated parameters).
+
+Per-chip HBM for a 24 MP canvas (4000x6000, UtNet cs=504/ucs=480/ol=6,
+8 chips): input band ~ (2*474+504) x 6024 x 3 fp32 ~ 105 MB, output band
+~ (474+480) x 6000 x 3 fp32 ~ 69 MB, params 124 MB -> ~0.3 GB/chip vs the
+previous design's full padded image + full canvas + psum buffers per chip
+(~0.9 GB) and an all-reduce per round.
 
 For directory workloads (``--nightmode`` batch: embarrassingly parallel
 across images) the same program runs per image; multi-host pods would
@@ -17,7 +39,6 @@ slices.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -37,6 +58,8 @@ class ShardedTileDenoiser:
     """Denoise one image with tiles split across all mesh devices.
 
     ``apply_fn(params, tiles_nhwc) -> tiles_nhwc`` as in engine.TileEngine.
+    ``tiles_per_device`` is the per-round dispatch width on each device
+    (the model batch dimension inside the compiled loop).
     """
 
     def __init__(self, apply_fn: Callable, params, cs: int, ucs: int,
@@ -55,30 +78,35 @@ class ShardedTileDenoiser:
         self.ndev = self.mesh.devices.size
         self.params = pmesh.replicate_tree(self.mesh, params)
         self._step_cache = {}
+        self.last_bytes_uploaded = 0
+        self.last_bytes_downloaded = 0
 
-    def _step(self, canvas_shape):
-        key = canvas_shape
+    def _step(self, band_h_in, band_h_out, w_in, w_out, channels, ntiles_dev):
+        key = (band_h_in, band_h_out, w_in, w_out, channels, ntiles_dev)
         if key in self._step_cache:
             return self._step_cache[key]
-        pad, ucs, cs = self.pad, self.ucs, self.cs
+        pad, ucs, cs, ol, tpd = self.pad, self.ucs, self.cs, self.ol, self.tpd
         axis = self.axis
+        nrounds = ntiles_dev // tpd
 
-        def local_step(params, padded, canvas, coords, specs):
-            """Per-device: gather + forward + weighted scatter into the LOCAL
-            canvas. coords/specs carry this device's tiles (leading axis)."""
-            coords = coords[0]
-            specs = specs[0]
-            # the replicated canvas becomes device-varying once local tiles
-            # are added; mark it so the fori_loop carry types agree
+        def local_step(params, band_in, coords, specs):
+            """Per-device: loop over this device's tiles in rounds of tpd,
+            gather + forward + weighted scatter into the LOCAL canvas band.
+            coords are (y, x) offsets valid for BOTH the input band (padded
+            coords) and the output band (canvas coords) — the band starts
+            line up by construction (see denoise_hwc)."""
+            band_in = band_in[0]      # (band_h_in, w_in, C)
+            coords = coords[0]        # (ntiles_dev, 2)
+            specs = specs[0]          # (ntiles_dev, 6)
+            canvas = jnp.zeros((band_h_out, w_out, channels), jnp.float32)
+            # the fresh canvas is device-invariant until local tiles land in
+            # it; mark it varying so the fori_loop carry types agree
             if hasattr(lax, "pcast"):
                 canvas = lax.pcast(canvas, (axis,), to="varying")
 
             def gather_one(yx):
-                return lax.dynamic_slice(padded, (yx[0], yx[1], 0),
-                                         (cs, cs, padded.shape[2]))
-
-            tiles = jax.vmap(gather_one)(coords)
-            y = self.apply_fn(params, tiles.astype(self.cdt))
+                return lax.dynamic_slice(band_in, (yx[0], yx[1], 0),
+                                         (cs, cs, channels))
 
             def mask_one(spec):
                 h, w, left, top, right, bottom = (spec[i] for i in range(6))
@@ -86,27 +114,34 @@ class ShardedTileDenoiser:
                 c = lax.broadcasted_iota(jnp.int32, (ucs, ucs), 1)
                 m = ((r < h) & (c < w)).astype(jnp.float32)
                 half, one = jnp.float32(0.5), jnp.float32(1.0)
-                m = m * jnp.where((left == 1) & (c < self.ol), half, one)
-                m = m * jnp.where((top == 1) & (r < self.ol), half, one)
-                m = m * jnp.where((right == 1) & (c >= w - self.ol) & (c < w), half, one)
-                m = m * jnp.where((bottom == 1) & (r >= h - self.ol) & (r < h), half, one)
+                m = m * jnp.where((left == 1) & (c < ol), half, one)
+                m = m * jnp.where((top == 1) & (r < ol), half, one)
+                m = m * jnp.where((right == 1) & (c >= w - ol) & (c < w), half, one)
+                m = m * jnp.where((bottom == 1) & (r >= h - ol) & (r < h), half, one)
                 return m[..., None]
 
-            masks = jax.vmap(mask_one)(specs)
-            slab = y[:, pad:pad + ucs, pad:pad + ucs, :].astype(jnp.float32) * masks
+            def round_body(rr, cv):
+                c = lax.dynamic_slice(coords, (rr * tpd, 0), (tpd, 2))
+                s = lax.dynamic_slice(specs, (rr * tpd, 0), (tpd, 6))
+                tiles = jax.vmap(gather_one)(c)
+                y = self.apply_fn(params, tiles.astype(self.cdt))
+                masks = jax.vmap(mask_one)(s)
+                slab = y[:, pad:pad + ucs, pad:pad + ucs, :].astype(jnp.float32) * masks
 
-            def body(i, cv):
-                y0, x0 = coords[i, 0], coords[i, 1]
-                cur = lax.dynamic_slice(cv, (y0, x0, 0), (ucs, ucs, cv.shape[2]))
-                return lax.dynamic_update_slice(cv, cur + slab[i], (y0, x0, 0))
+                def body(i, cv):
+                    y0, x0 = c[i, 0], c[i, 1]
+                    cur = lax.dynamic_slice(cv, (y0, x0, 0), (ucs, ucs, channels))
+                    return lax.dynamic_update_slice(cv, cur + slab[i], (y0, x0, 0))
 
-            canvas = lax.fori_loop(0, coords.shape[0], body, canvas)
-            return lax.psum(canvas, axis)
+                return lax.fori_loop(0, tpd, body, cv)
+
+            canvas = lax.fori_loop(0, nrounds, round_body, canvas)
+            return canvas[None]
 
         fn = shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(self.axis), P(self.axis)),
-            out_specs=P(),
+            in_specs=(P(), P(self.axis), P(self.axis), P(self.axis)),
+            out_specs=P(self.axis),
         )
         jitted = jax.jit(fn)
         self._step_cache[key] = jitted
@@ -115,27 +150,57 @@ class ShardedTileDenoiser:
     def denoise_hwc(self, img_hwc: np.ndarray) -> np.ndarray:
         h, w, c = img_hwc.shape
         plan = TilePlan(h, w, self.cs, self.ucs, self.ol)
-        padded_np = plan.pad_image(np.ascontiguousarray(img_hwc, np.float32))
-        padded = jax.device_put(padded_np,
-                                NamedSharding(self.mesh, P()))
-        per_round = self.ndev * self.tpd
-        canvas = jnp.zeros((plan.grid_h, plan.grid_w, c), jnp.float32)
-        canvas = jax.device_put(canvas, NamedSharding(self.mesh, P()))
-        step = self._step((plan.grid_h, plan.grid_w))
+        padded = plan.pad_image(np.ascontiguousarray(img_hwc, np.float32))
+        ndev, stride, ucs, cs = self.ndev, plan.stride, self.ucs, self.cs
+        row_w = plan.iperhl + 1
+
+        # equal row-major tile chunks per device (±1 tile balance)
+        per_dev = math.ceil(plan.ntiles / ndev)
+        per_dev = math.ceil(per_dev / self.tpd) * self.tpd  # whole rounds
+        chunks = [list(range(d * per_dev, min((d + 1) * per_dev, plan.ntiles)))
+                  for d in range(ndev)]
+        # band height covers the widest row span any device's chunk needs
+        spans = [(ch[-1] // row_w) - (ch[0] // row_w) + 1 for ch in chunks if ch]
+        span_max = max(spans)
+        band_h_in = (span_max - 1) * stride + cs
+        band_h_out = band_h_in - 2 * self.pad   # == (span_max-1)*stride + ucs
+        # padded height = grid_h + 2*pad, so the clamp below keeps the input
+        # and output bands aligned: both start at `start` in their own coords
+        assert padded.shape[0] == plan.grid_h + 2 * self.pad
+
+        starts = np.zeros(ndev, np.int32)
+        bands_in = np.zeros((ndev, band_h_in, padded.shape[1], c), np.float32)
+        coords = np.zeros((ndev, per_dev, 2), np.int32)
+        specs = np.zeros((ndev, per_dev, 6), np.int32)
+        for d, ch in enumerate(chunks):
+            if not ch:
+                continue  # all-dummy device: zero band, zero-weight specs
+            r_first = ch[0] // row_w
+            start = min(stride * r_first, plan.grid_h - band_h_out)
+            starts[d] = start
+            bands_in[d] = padded[start:start + band_h_in]
+            cds, sps = plan.tile_specs_arrays(ch)
+            cds[:, 0] -= start  # band-local y for gather AND scatter
+            coords[d, :len(ch)] = cds
+            specs[d, :len(ch)] = sps
+
+        sh = NamedSharding(self.mesh, P(self.axis))
+        bands_dev = jax.device_put(bands_in, sh)
+        coords_dev = jax.device_put(coords, sh)
+        specs_dev = jax.device_put(specs, sh)
+        self.last_bytes_uploaded = bands_in.nbytes + coords.nbytes + specs.nbytes
+
+        step = self._step(band_h_in, band_h_out, padded.shape[1],
+                          plan.grid_w, c, per_dev)
+        bands_out = np.asarray(step(self.params, bands_dev, coords_dev,
+                                    specs_dev))
+        self.last_bytes_downloaded = bands_out.nbytes
 
         out = np.zeros((plan.grid_h, plan.grid_w, c), np.float32)
-        for r0 in range(0, plan.ntiles, per_round):
-            batch = list(range(r0, min(r0 + per_round, plan.ntiles)))
-            coords, specs = plan.tile_specs_arrays(batch)
-            npad = per_round - len(batch)
-            if npad:  # zero-weight dummies keep shapes fixed
-                coords = np.concatenate([coords, np.zeros((npad, 2), np.int32)])
-                specs = np.concatenate([specs, np.zeros((npad, 6), np.int32)])
-            # (ndev, tpd, ...) leading axis shards over the mesh
-            coords = coords.reshape(self.ndev, self.tpd, 2)
-            specs = specs.reshape(self.ndev, self.tpd, 6)
-            sh = NamedSharding(self.mesh, P(self.axis))
-            result = step(self.params, padded, canvas,
-                          jax.device_put(coords, sh), jax.device_put(specs, sh))
-            out += np.asarray(result)
+        for d, ch in enumerate(chunks):
+            if not ch:
+                continue
+            # adjacent bands overlap only in the ol-row feather strips; the
+            # += merges them (each strip was pre-halved by the masks)
+            out[starts[d]:starts[d] + band_h_out] += bands_out[d]
         return out[:h, :w]

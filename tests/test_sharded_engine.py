@@ -1,9 +1,11 @@
 """Tile-parallel sharded inference over the 8-device CPU mesh must match the
-single-device engine exactly."""
+single-device engine exactly, and its communication volume must be
+proportional to the canvas (row-band ownership), not canvas x rounds."""
 
 import numpy as np
 import jax
 
+from nind_denoise_tpu.core.tiles import TilePlan
 from nind_denoise_tpu.engine.tile_engine import TileEngine
 from nind_denoise_tpu.models.utnet import UtNet
 from nind_denoise_tpu.parallel.sharded_engine import ShardedTileDenoiser
@@ -32,3 +34,59 @@ def test_sharded_identity_reconstructs():
     img = rng.random((100, 130, 3), dtype=np.float32)
     out = sharded.denoise_hwc(img)
     np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_sharded_uneven_grid_bitmatch():
+    """Uneven grid (partial edge tiles, ntiles not divisible by ndev, chunk
+    boundaries splitting mid-row) must still bit-match the single engine."""
+    params = UtNet.init(jax.random.PRNGKey(1), funit=2)
+    apply_fn = lambda p, x: UtNet.apply(p, x)
+    rng = np.random.default_rng(2)
+    img = rng.random((211, 301, 3), dtype=np.float32)  # 4x7 grid = 28 tiles
+
+    single = TileEngine(apply_fn, params, cs=104, ucs=88, ol=6, batch_size=4,
+                        compute_dtype="float32")
+    ref = single.denoise_hwc(img)
+
+    sharded = ShardedTileDenoiser(apply_fn, params, cs=104, ucs=88, ol=6,
+                                  tiles_per_device=2)
+    got = sharded.denoise_hwc(img)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_communication_bound():
+    """Bytes moved are proportional to the canvas plus O(ndev) overlap rows,
+    and do NOT grow with the number of per-device rounds."""
+    cs, ucs, ol = 64, 48, 4
+    rng = np.random.default_rng(3)
+    img = rng.random((300, 340, 3), dtype=np.float32)  # 7x8 grid = 56 tiles
+    plan = TilePlan(img.shape[0], img.shape[1], cs, ucs, ol)
+    w_in = plan.grid_w + 2 * plan.pad
+    h_in = plan.grid_h + 2 * plan.pad
+
+    # 56 tiles / 8 devices = 7 per device; tpd 1 vs 7 keeps the chunk layout
+    # identical while changing the per-device round count 7x
+    by_tpd = {}
+    for tpd in (1, 7):
+        eng = ShardedTileDenoiser(lambda p, x: x, {}, cs=cs, ucs=ucs, ol=ol,
+                                  tiles_per_device=tpd)
+        out = eng.denoise_hwc(img)
+        np.testing.assert_allclose(out, img, atol=1e-6)
+        by_tpd[tpd] = (eng.last_bytes_uploaded, eng.last_bytes_downloaded)
+        ndev = eng.ndev
+        # upload: padded image + per-device band overlap (each band re-reads
+        # at most 2*stride + cs extra rows) + the tile descriptor arrays
+        up_bound = (h_in + ndev * (2 * plan.stride + cs)) * w_in * 3 * 4 \
+            + plan.ntiles * 8 * 2 * 4
+        # download: canvas + per-device band overlap rows
+        down_bound = (plan.grid_h + ndev * (2 * plan.stride + ucs)) \
+            * plan.grid_w * 3 * 4
+        assert eng.last_bytes_uploaded <= up_bound, \
+            (eng.last_bytes_uploaded, up_bound)
+        assert eng.last_bytes_downloaded <= down_bound, \
+            (eng.last_bytes_downloaded, down_bound)
+
+    # round count changed 7x between tpd=1 and tpd=7; traffic must not
+    # (descriptor padding to whole rounds may differ by a few KB)
+    assert by_tpd[1][1] == by_tpd[7][1], by_tpd
+    assert abs(by_tpd[1][0] - by_tpd[7][0]) < 8192, by_tpd
