@@ -3,16 +3,37 @@
 The reference shells out to gmic for this
 (``gmic <s2.tif> -deblur_richardsonlucy <sigma>,<iterations>,1 -/ 256
 cut 0,255 round -o <out>,<quality>``, /root/reference/src/denoise.py:470-475).
-Here the deconvolution runs as a jitted JAX program (BASELINE config #3):
+Here the deconvolution runs as a jitted JAX program (BASELINE config #3).
 
-* Gaussian PSF of standard deviation ``sigma`` (separable, truncated at
-  radius ceil(3*sigma), normalized).
-* Classic multiplicative RL iteration, ``dt`` exponent on the correction
-  (the third gmic argument; the pipeline always passes 1):
-      u <- u * [ (d / (u (*) P)) (*) P ]^dt
+gmic semantics (transcribed from the G'MIC CLI reference for
+``deblur_richardsonlucy``; the stdlib script itself is not available in
+this offline image — residual-risk note below)::
+
+    deblur_richardsonlucy:
+        sigma>=0,_nb_iterations>=0,_use_fast_approximation={ 0=no | 1=yes }
+      Deblur selected images with Richardson-Lucy algorithm, assuming
+      a gaussian PSF with standard deviation 'sigma'.
+      Default values: 'nb_iterations=10' and 'use_fast_approximation=1'.
+
+So the three arguments at the reference call site are (sigma, iterations,
+use_fast_approximation) — the pipeline always passes ``1`` for the third,
+i.e. the FAST blur approximation, not a time-step. The G'MIC stdlib builds
+each RL step from the ``blur`` command, which is CImg's recursive IIR
+gaussian approximation (Deriche when the fast flag is set, Young-van Vliet
+otherwise) with neumann boundary.
+
+This kernel implements the definition the stdlib approximates:
+
+* Gaussian PSF of standard deviation ``sigma`` — exact truncated FIR,
+  radius ceil(3*sigma), normalized (gmic's Deriche pass is an IIR
+  *approximation* of this same PSF).
+* Classic multiplicative RL iteration::
+      u <- u * [ (d / (u (*) P)) (*) P ]
   The Gaussian PSF is symmetric so the correlation/convolution adjoint pair
-  collapses to the same kernel.
-* Neumann (edge-replicate) boundary like gmic's default.
+  collapses to the same kernel. ``dt`` generalizes the correction exponent
+  for non-pipeline callers; the pipeline semantics are dt=1.
+* Neumann (edge-replicate) boundary, matching gmic ``blur``'s default
+  boundary_conditions=1.
 * Post-ops bit-follow the gmic command line on 16-bit data:
   ``/256, cut 0-255, round`` -> uint8. With inputs normalized to [0, 1]
   (imgio convention, 16-bit/65535) this is ``round(clip(u*65535/256, 0,
@@ -20,6 +41,14 @@ Here the deconvolution runs as a jitted JAX program (BASELINE config #3):
 
 RL is scale-invariant, so running on [0, 1] data matches gmic's 0..65535
 arithmetic exactly up to fp error.
+
+Validation status: the RL structure (PSF radius/normalization, boundary,
+iteration, eps guard) is pinned by an INDEPENDENT dense-convolution numpy
+oracle in tests/test_rl_deblur.py (derived from the RL formula, sharing no
+code with this module). Bit-parity against a real gmic binary is NOT
+established here (no gmic, zero egress); tests/test_rl_deblur.py contains
+a parity test that activates automatically when a ``gmic`` binary is
+present, with a tolerance covering the FIR-vs-Deriche-IIR PSF difference.
 """
 
 from __future__ import annotations

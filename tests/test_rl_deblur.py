@@ -1,11 +1,85 @@
 """Richardson-Lucy deblur tests: deconvolution must sharpen a Gaussian-blurred
-image back toward the original, preserve flux, and the uint8 post-ops must
-follow the gmic command-line semantics."""
+image back toward the original, preserve flux, match an INDEPENDENT dense
+numpy oracle of the RL definition, and the uint8 post-ops must follow the
+gmic command-line semantics. A real-gmic parity test activates when a gmic
+binary is available."""
+
+import shutil
+import subprocess
 
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from nind_denoise_tpu.ops import rl_deblur
+
+
+def _oracle_rl(d: np.ndarray, sigma: float, iterations: int) -> np.ndarray:
+    """Independent Richardson-Lucy oracle, written from the definition:
+    2D gaussian PSF exp(-(x^2+y^2)/2s^2) truncated at radius ceil(3s) and
+    normalized, DENSE (non-separable) convolution with edge-replicate
+    boundary, u <- u * conv(d / max(conv(u), eps)). Shares no code with
+    ops/rl_deblur — it would diverge if the kernel's PSF radius,
+    normalization, boundary mode, iteration structure or eps differed."""
+    r = int(np.ceil(3.0 * sigma))
+    yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+    psf = np.exp(-(xx ** 2 + yy ** 2) / (2.0 * sigma ** 2))
+    psf /= psf.sum()
+
+    def conv(img):
+        h, w = img.shape[:2]
+        padded = np.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
+        out = np.zeros_like(img, dtype=np.float64)
+        for dy in range(2 * r + 1):
+            for dx in range(2 * r + 1):
+                out += psf[dy, dx] * padded[dy:dy + h, dx:dx + w]
+        return out
+
+    u = d.astype(np.float64)
+    d64 = d.astype(np.float64)
+    for _ in range(iterations):
+        est = conv(u)
+        u = u * conv(d64 / np.maximum(est, 1e-8))
+    return u
+
+
+def test_matches_independent_oracle():
+    """10 iterations, sigma 1 and 1.6 (non-integer radius), vs the dense
+    float64 oracle: agreement to fp32 accumulation noise."""
+    rng = np.random.default_rng(7)
+    img = np.clip(rng.random((40, 52, 3)).astype(np.float32) * 0.8 + 0.1, 0, 1)
+    for sigma in (1.0, 1.6):
+        got = np.asarray(rl_deblur.rl_deblur(jnp.asarray(img), sigma=sigma,
+                                             iterations=10))
+        want = _oracle_rl(img, sigma, 10)
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.skipif(shutil.which("gmic") is None,
+                    reason="gmic binary not available in this image")
+def test_matches_real_gmic(tmp_path):
+    """Ground-truth parity vs gmic itself (runs wherever gmic exists):
+    the full reference command line on a 16-bit PNG. Tolerance covers the
+    FIR-gaussian vs Deriche-IIR PSF difference (use_fast_approximation=1)."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    img16 = (np.clip(rng.random((96, 96, 3)) * 0.8 + 0.1, 0, 1)
+             * 65535).astype(np.uint16)
+    src = tmp_path / "in.png"
+    out = tmp_path / "out.png"
+    cv2.imwrite(str(src), img16[..., ::-1])
+    subprocess.run(
+        ["gmic", str(src), "-deblur_richardsonlucy", "1,10,1", "-/", "256",
+         "cut", "0,255", "round", "-o", str(out)],
+        check=True, capture_output=True)
+    theirs = cv2.imread(str(out), cv2.IMREAD_UNCHANGED)[..., ::-1].astype(np.float64)
+    ours = rl_deblur.rl_deblur_to_uint8(img16.astype(np.float32) / 65535.0,
+                                        sigma=1.0, iterations=10).astype(np.float64)
+    mad = np.abs(ours - theirs).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / max(((ours - theirs) ** 2).mean(), 1e-12))
+    assert mad < 2.0 and psnr > 35.0, (mad, psnr)
 
 
 def _blurred_scene(sigma=1.0):
