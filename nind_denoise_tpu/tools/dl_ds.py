@@ -1,9 +1,13 @@
 """NIND dataset downloader (Wikimedia Commons).
 
-Equivalent of /root/reference/src/nind_denoise/tools/dl_ds_1.py:1-236. The
-reference pins a hardcoded manifest of 133 scenes (date-pinned revisions);
-this tool instead queries the Commons category live (``--category``) or
-consumes a YAML manifest (``--manifest``: {scene: [filenames]}). Shared
+Equivalent of /root/reference/src/nind_denoise/tools/dl_ds_1.py:1-236. By
+default it targets the same date-pinned snapshot the reference hardcodes
+(dl_ds_1.py:12-146): the bundled manifest
+``manifests/nind_2021-05-21.yaml`` (114 scenes / 749 files across 6 camera
+sets) with each file resolved to its latest Commons revision on or before
+``last_update`` — so a no-argument run reproduces the exact reference
+dataset. Alternatives: ``--manifest`` for another snapshot yaml, or
+``--category`` for a live category query (not reproducible). Shared
 behavior: sha1 verification against the Commons API, bounded retries, error
 accumulation with a nonzero exit, and the
 ``NIND/<scene>/NIND_<scene>_ISO<val>.<ext>`` output layout.
@@ -26,6 +30,8 @@ from ..utils import utilities
 
 API = "https://commons.wikimedia.org/w/api.php"
 DEFAULT_CATEGORY = "Category:Natural_Image_Noise_Dataset"
+DEFAULT_MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "manifests", "nind_2021-05-21.yaml")
 MAX_ATTEMPTS = 3
 
 
@@ -50,13 +56,31 @@ def list_category_files(category: str) -> Iterator[str]:
         cont = res["continue"]
 
 
-def file_info(title: str) -> Tuple[str, str]:
-    """-> (download url, sha1)."""
-    res = _api({"action": "query", "titles": title, "prop": "imageinfo",
-                "iiprop": "url|sha1"})
+def file_info(title: str, datelimit: Optional[str] = None) -> Tuple[str, str]:
+    """-> (download url, sha1). ``datelimit`` (YYYY-MM-DD) pins the latest
+    revision uploaded on or before that date (dl_ds_1.py:160 iistart)."""
+    params = {"action": "query", "titles": title, "prop": "imageinfo",
+              "iiprop": "timestamp|url|sha1"}
+    if datelimit:
+        params["iistart"] = datelimit + "T23:59:59Z"
+    res = _api(params)
     page = next(iter(res["query"]["pages"].values()))
     ii = page["imageinfo"][0]
     return ii["url"], ii["sha1"]
+
+
+def manifest_titles(manifest: Dict) -> List[str]:
+    """Expand a manifest into Commons file titles.
+
+    Pinned-snapshot format ({last_update, sets: {set: {ext, scenes:
+    {scene: [iso...]}}}}) or the legacy flat {scene: [titles]} form.
+    """
+    if "sets" in manifest:
+        return [f"NIND_{scene}_ISO{iso}.{s['ext']}"
+                for s in manifest["sets"].values()
+                for scene, isos in s["scenes"].items()
+                for iso in isos]
+    return [f for files in manifest.values() for f in files]
 
 
 def scene_of(filename: str) -> Optional[str]:
@@ -95,21 +119,31 @@ def download_file(url: str, dest: str, sha1: Optional[str]) -> bool:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--target_dir", default=os.path.join("..", "..", "datasets", "NIND"))
-    p.add_argument("--category", default=DEFAULT_CATEGORY)
-    p.add_argument("--manifest", help="YAML {scene: [file titles]} instead of "
-                                      "querying the category")
+    p.add_argument("--category", default=None,
+                   help=f"query a Commons category live instead of the pinned "
+                        f"manifest (e.g. {DEFAULT_CATEGORY}; not reproducible)")
+    p.add_argument("--manifest", default=DEFAULT_MANIFEST,
+                   help="snapshot YAML (default: the reference-pinned "
+                        "2021-05-21 NIND manifest)")
+    p.add_argument("--datelimit", default=None,
+                   help="latest upload date for revision pinning "
+                        "(default: the manifest's last_update)")
     p.add_argument("--use_wget", action="store_true",
                    help="shell out to wget instead of urllib")
     p.add_argument("--skip_existing", action="store_true", default=True)
     args = p.parse_args(argv)
 
-    if args.manifest:
+    datelimit = args.datelimit
+    if args.category:
+        titles = list(list_category_files(args.category))
+    else:
         with open(args.manifest) as fp:
             manifest = yaml.safe_load(fp)
-        titles = [f for files in manifest.values() for f in files]
-    else:
-        titles = list(list_category_files(args.category))
-    print(f"{len(titles)} files to download")
+        titles = manifest_titles(manifest)
+        if datelimit is None:
+            datelimit = manifest.get("last_update")
+    print(f"{len(titles)} files to download"
+          + (f" (revisions pinned to {datelimit})" if datelimit else ""))
 
     errors: List[str] = []
     for title in titles:
@@ -123,7 +157,7 @@ def main(argv=None) -> int:
         dest = os.path.join(dest_dir, fn)
         try:
             url, sha1 = file_info(title if title.startswith("File:")
-                                  else "File:" + title)
+                                  else "File:" + title, datelimit)
         except Exception as e:
             errors.append(f"{title}: info failed ({e})")
             continue

@@ -120,3 +120,30 @@ def test_score_get_losses(tmp_path):
     cv2.imwrite(pb, a)
     res = score.get_losses(pa, pb)
     assert res["mse"] == 0 and abs(res["msssim"]) < 1e-6
+
+
+def test_pinned_nind_manifest():
+    """The bundled 2021-05-21 manifest is the reference's exact dataset
+    definition (dl_ds_1.py:12-146): 6 camera sets, 114 scenes, 749 files,
+    incl. both fixture-crop source images and all 7 test-reserve scenes."""
+    import yaml
+
+    from nind_denoise_tpu.tools import dl_ds
+
+    assert os.path.isfile(dl_ds.DEFAULT_MANIFEST)
+    with open(dl_ds.DEFAULT_MANIFEST) as fp:
+        man = yaml.safe_load(fp)
+    assert man["last_update"] == "2021-05-21"
+    assert len(man["sets"]) == 6
+    nscenes = sum(len(s["scenes"]) for s in man["sets"].values())
+    titles = dl_ds.manifest_titles(man)
+    assert nscenes == 114 and len(titles) == 749
+    assert "NIND_bananapi_ISO50.png" in titles
+    assert "NIND_MuseeL-yombe_ISO200.jpg" in titles
+    scenes = {sc for s in man["sets"].values() for sc in s["scenes"]}
+    reserve = {"ursulines-red", "stefantiek", "ursulines-building",
+               "MuseeL-Bobo", "CourtineDeVillersDebris", "MuseeL-Bobo-C500D",
+               "Pen-pile"}
+    assert reserve <= scenes
+    # per-scene dirs + filename layout round-trips through scene_of
+    assert dl_ds.scene_of("NIND_MuseeL-Bobo-C500D_ISOH1.jpg") == "MuseeL-Bobo-C500D"
