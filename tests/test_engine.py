@@ -20,6 +20,7 @@ def test_identity_network_reconstructs():
     np.testing.assert_allclose(out, img, atol=1e-6)
 
 
+@pytest.mark.slow  # >20 s on the 1-core host
 def test_engine_matches_host_stitch():
     params = UtNet.init(jax.random.PRNGKey(0), funit=4)
     apply_fn = lambda p, x: UtNet.apply(p, x)

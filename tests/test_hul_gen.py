@@ -14,6 +14,9 @@ from nind_denoise_tpu.ops import conv as C
 torch = pytest.importorskip("torch")
 from torch import nn  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-twin zoo parity: minutes on 1 core
+
+
 
 def _tc_w(m):
     w = m.weight.detach().numpy()[:, :, ::-1, ::-1]

@@ -12,6 +12,9 @@ from nind_denoise_tpu.models import get_network, hul, legacy, p2p, torch_import
 torch = pytest.importorskip("torch")
 from torch import nn  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-twin zoo parity: minutes on 1 core
+
+
 
 def test_registry_resolves():
     for name in ("UtNet", "UNet", "DnCNN", "RedCNN", "ResnetGenerator",

@@ -11,6 +11,9 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # torch-twin zoo parity: minutes on 1 core
+
+
 
 @pytest.fixture(scope="module")
 def cropped_ds_176(tmp_path_factory):

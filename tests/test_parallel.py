@@ -48,6 +48,7 @@ def test_dp_train_step_runs_and_reduces(tiny_setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow  # >20 s on the 1-core host
 def test_dp_matches_single_device(tiny_setup):
     """One DP step over 8 shards == one step on the full batch, single device."""
     params, apply_fn, clean, noisy = tiny_setup

@@ -19,6 +19,9 @@ from nind_denoise_tpu.models import get_network, relics, torch_import as ti
 torch = pytest.importorskip("torch")
 from torch import nn  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-twin zoo parity: minutes on 1 core
+
+
 
 def _resolve(c, funit, cin_raw):
     return relics._resolve(c, funit, cin_raw)

@@ -152,6 +152,7 @@ def validation_yaml_104(cropped_ds_104, tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow  # >20 s on the 1-core host
 def test_train_loop_end_to_end(cropped_ds_104, validation_yaml_104, tmp_path):
     """Two short epochs of the full training CLI: loss recorded, best-epoch
     retention applied, checkpoints loadable."""
@@ -194,6 +195,7 @@ def test_train_loop_end_to_end(cropped_ds_104, validation_yaml_104, tmp_path):
     assert "params" in tree
 
 
+@pytest.mark.slow  # >20 s on the 1-core host
 def test_discriminator_learn_step():
     """One cGAN discriminator learn + predict round (Hul112Disc, 112 crops)."""
     import jax

@@ -3,10 +3,12 @@
 import os
 
 import numpy as np
+import pytest
 
 from tests.test_train import cropped_ds_104, validation_yaml_104  # noqa: F401
 
 
+@pytest.mark.slow  # >20 s on the 1-core host
 def test_unet_train_short(cropped_ds_104, validation_yaml_104, tmp_path):  # noqa: F811
     from nind_denoise_tpu.train import loop
 
