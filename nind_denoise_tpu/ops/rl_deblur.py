@@ -94,11 +94,22 @@ def _blur(x: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
     return _blur_axis(_blur_axis(x, k1d, 1), k1d, 2)
 
 
-@partial(jax.jit, static_argnames=("sigma", "iterations", "dt"))
+@partial(jax.jit, static_argnames=("sigma", "iterations", "dt", "impl"))
 def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
-              dt: float = 1.0) -> jnp.ndarray:
+              dt: float = 1.0, impl: str = "xla") -> jnp.ndarray:
     """Richardson-Lucy deconvolution. img: (N, H, W, C) or (H, W, C), any
-    non-negative scale. Returns same shape, float32."""
+    non-negative scale. Returns same shape, float32.
+
+    ``impl='pallas'`` selects the fused-VMEM band kernel
+    (ops/pallas_blur.py): ~19% faster on-chip (94.8 vs 79.5 MP/s measured at
+    6 MP / 10 iter) but with a much slower first compile through the remote
+    service — the XLA path stays the product default. HWC, dt=1 only."""
+    if impl == "pallas":
+        if dt != 1.0 or img.ndim != 3:
+            raise NotImplementedError("pallas RL impl supports HWC, dt=1 only")
+        from . import pallas_blur
+
+        return pallas_blur.rl_deblur_pallas(img, sigma, iterations)
     squeeze = img.ndim == 3
     x = img[None] if squeeze else img
     x = x.astype(jnp.float32)
@@ -119,9 +130,11 @@ def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
 
 
 def rl_deblur_to_uint8(img01: np.ndarray, sigma: float = 1.0,
-                       iterations: int = 10, dt: float = 1.0) -> np.ndarray:
+                       iterations: int = 10, dt: float = 1.0,
+                       impl: str = "xla") -> np.ndarray:
     """Full gmic-pipeline semantics on a [0,1]-normalized HWC image:
     RL deblur, then ``*65535/256, clip 0-255, round`` -> uint8 HWC."""
-    u = np.asarray(rl_deblur(jnp.asarray(img01, jnp.float32), sigma, iterations, dt))
+    u = np.asarray(rl_deblur(jnp.asarray(img01, jnp.float32), sigma, iterations,
+                             dt, impl=impl))
     out = np.clip(u * (65535.0 / 256.0), 0.0, 255.0)
     return np.round(out).astype(np.uint8)

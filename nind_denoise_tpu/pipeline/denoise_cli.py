@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Input is already a stage-1 TIFF")
     p.add_argument("--sigma", default="1", help="RL-deblur sigma")
     p.add_argument("--iterations", default="10", help="RL-deblur iterations")
+    p.add_argument("--rl-impl", default="xla", choices=["xla", "pallas"],
+                   dest="rl_impl",
+                   help="on-device RL kernel: xla (default; fast compile) or "
+                        "pallas (fused VMEM bands, ~19%% faster steady-state)")
     p.add_argument("--height", help="Max output height")
     p.add_argument("--copy_num", help="darktable duplicate number (XMP naming)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -178,7 +182,7 @@ def _write_encoded(img01_hwc, out_fpath: pathlib.Path, quality: str) -> None:
 
 def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
                       sigma: int, iterations: int, quality: str,
-                      verbose: bool = False) -> None:
+                      verbose: bool = False, impl: str = "xla") -> None:
     """On-device RL on a device-resident image, gmic post-op semantics
     (*65535/256, cut 0-255, round), uint8 quantize on device, single fetch."""
     import jax.numpy as jnp
@@ -187,7 +191,7 @@ def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
     from ..ops import rl_deblur
 
     img = jnp.clip(jnp.asarray(img01_hwc, jnp.float32), 0, None)
-    u = rl_deblur.rl_deblur(img, float(sigma), int(iterations))
+    u = rl_deblur.rl_deblur(img, float(sigma), int(iterations), impl=impl)
     u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)).astype(jnp.uint8)
     _encode_u8(transfer.fast_get(u8), out_fpath, quality)
     if verbose:
@@ -196,13 +200,14 @@ def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
 
 def _rl_deblur_ondevice(in_fpath: pathlib.Path, out_fpath: pathlib.Path,
                         sigma: int, iterations: int, quality: str,
-                        verbose: bool = False) -> None:
+                        verbose: bool = False, impl: str = "xla") -> None:
     import cv2
 
     from ..ops import rl_deblur
 
     img = imgio.load_img(str(in_fpath)).transpose(1, 2, 0)  # [0,1] HWC
-    u8 = rl_deblur.rl_deblur_to_uint8(img, float(sigma), int(iterations))
+    u8 = rl_deblur.rl_deblur_to_uint8(img, float(sigma), int(iterations),
+                                      impl=impl)
     bgr = cv2.cvtColor(u8, cv2.COLOR_RGB2BGR)
     if out_fpath.suffix.lower() in (".jpg", ".jpeg"):
         cv2.imwrite(str(out_fpath), bgr, [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
@@ -290,7 +295,7 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
         denoised01 = _denoise_to_array(mcfg, s1_fpath, args)
         if rldeblur:
             _rl_array_to_file(denoised01, outpath, sigma, iterations, quality,
-                              verbose=args.verbose)
+                              verbose=args.verbose, impl=args.rl_impl)
         elif outpath.suffix.lower() == ".tiff":
             imgio.save_img(denoised01.transpose(2, 0, 1), str(outpath))
         else:
@@ -334,7 +339,7 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
                 outpath = outpath.replace(outpath.with_name(restore))
         else:
             _rl_deblur_ondevice(s2_fpath, outpath, sigma, iterations, quality,
-                                verbose=args.verbose)
+                                verbose=args.verbose, impl=args.rl_impl)
 
     exif_mod.clone_exif(s1_fpath, outpath, verbose=args.verbose)
 
