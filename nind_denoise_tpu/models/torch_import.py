@@ -143,10 +143,75 @@ def import_unet(fpath_or_sd) -> Tuple[Dict, Dict]:
     return params, state
 
 
+def import_mobilenetv3(fpath_or_sd) -> Tuple[Dict, Dict]:
+    """torchvision lraspp_mobilenet_v3_large state_dict (with or without the
+    reference wrapper's ``net.`` prefix, ThirdPartyNets.py:171-179) ->
+    (params, state) for models/third_party.MobileNetV3."""
+    from .third_party import _LARGE_DILATED
+
+    sd = load_state_dict(fpath_or_sd) if isinstance(fpath_or_sd, str) else fpath_or_sd
+    if any(k.startswith("net.") for k in sd):
+        sd = {k[4:]: v for k, v in sd.items() if k.startswith("net.")}
+
+    def cbn(conv_prefix, bn_prefix):
+        lay = {"w": conv_w(sd[conv_prefix + ".weight"])}
+        bnp, bns = _bn(sd, bn_prefix)
+        lay["bn"] = bnp
+        return lay, bns
+
+    backbone, bstate = [], []
+    lay, st = cbn("backbone.0.0", "backbone.0.1")
+    backbone.append(lay)
+    bstate.append({"bn": st})
+    cin = 16
+    for i, (k, exp, cout, use_se, _a, _s, _d) in enumerate(_LARGE_DILATED):
+        p = f"backbone.{i + 1}.block"
+        blk: Dict = {}
+        bst: Dict = {}
+        j = 0
+        if exp != cin:
+            blk["expand"], bst["expand"] = cbn(f"{p}.{j}.0", f"{p}.{j}.1")
+            j += 1
+        blk["dw"], bst["dw"] = cbn(f"{p}.{j}.0", f"{p}.{j}.1")
+        j += 1
+        if use_se:
+            blk["se"] = {
+                "fc1": {"w": conv_w(sd[f"{p}.{j}.fc1.weight"]),
+                        "b": _np(sd[f"{p}.{j}.fc1.bias"])},
+                "fc2": {"w": conv_w(sd[f"{p}.{j}.fc2.weight"]),
+                        "b": _np(sd[f"{p}.{j}.fc2.bias"])},
+            }
+            j += 1
+        blk["project"], bst["project"] = cbn(f"{p}.{j}.0", f"{p}.{j}.1")
+        backbone.append(blk)
+        bstate.append(bst)
+        cin = cout
+    lay, st = cbn("backbone.16.0", "backbone.16.1")
+    backbone.append(lay)
+    bstate.append({"bn": st})
+
+    cbr, cbr_st = cbn("classifier.cbr.0", "classifier.cbr.1")
+    params = {
+        "backbone": backbone,
+        "classifier": {
+            "cbr": cbr,
+            "scale": {"w": conv_w(sd["classifier.scale.1.weight"])},
+            "low_classifier": {"w": conv_w(sd["classifier.low_classifier.weight"]),
+                               "b": _np(sd["classifier.low_classifier.bias"])},
+            "high_classifier": {"w": conv_w(sd["classifier.high_classifier.weight"]),
+                                "b": _np(sd["classifier.high_classifier.bias"])},
+        },
+    }
+    state = {"backbone": bstate, "classifier": {"cbr": cbr_st}}
+    return params, state
+
+
 def import_checkpoint(fpath: str, network: str, **kwargs):
     """Dispatch by architecture name. Returns params or (params, state)."""
     if network == "UtNet":
         return import_utnet(fpath, **kwargs)
     if network == "UNet":
         return import_unet(fpath, **kwargs)
+    if network == "MobileNetV3":
+        return import_mobilenetv3(fpath)
     raise NotImplementedError(f"torch import for {network}")

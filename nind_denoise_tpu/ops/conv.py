@@ -54,6 +54,25 @@ def tconv2d_k3s1(x: jnp.ndarray, w_conv: jnp.ndarray,
     return conv2d(x, w_conv, b, padding="FULL")
 
 
+def conv2d_torch(x: jnp.ndarray, w: jnp.ndarray,
+                 b: Optional[jnp.ndarray] = None, stride: int = 1,
+                 dilation: int = 1, groups: int = 1) -> jnp.ndarray:
+    """torch Conv2d with padding=(k-1)//2*dilation (torchvision
+    Conv2dNormActivation's default 'same-ish' padding), optional groups
+    (depthwise when groups == C_in, HWIO weight with I=1)."""
+    k = w.shape[0]
+    p = (k - 1) // 2 * dilation
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride, stride),
+        padding=((p, p), (p, p)), rhs_dilation=(dilation, dilation),
+        feature_group_count=groups, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def conv2d_dilated(x: jnp.ndarray, w: jnp.ndarray,
                    b: Optional[jnp.ndarray] = None,
                    dilation: int = 2, stride: int = 1) -> jnp.ndarray:
