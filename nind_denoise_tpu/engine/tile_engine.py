@@ -372,7 +372,13 @@ def make_engine(network: str, params, cs: Optional[int] = None,
         net.check_cs(cs)
 
     if network == "UtNet":
-        apply_fn = partial(net.apply, activation=activation)
+        # MXU-shaped exact rewrite (composed up-convs + width-folded L1,
+        # ops/fastconv.py): +~50% single-chip throughput, parity-tested in
+        # tests/test_utnet_fast.py. Kernels are pre-composed once here and
+        # close over the jitted step as constants.
+        derived = jax.jit(net.precompute_fast)(params)
+        apply_fn = lambda p, x: net.apply_fast(p, x, activation=activation,
+                                               derived=derived)
     elif network == "UNet":
         # eval-mode UNet: thread the BN state, discard updates
         params, state = params if isinstance(params, tuple) else (params, None)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import conv as C
+from ..ops import fastconv as F
 
 Params = Dict[str, object]
 
@@ -170,3 +171,104 @@ class UtNet:
         t = act(C.tconv2d_k3s1(t, p4["c1"]["w"], p4["c1"]["b"]), p4["c1"])
         t = C.conv2d(t, p4["c2"]["w"], p4["c2"]["b"], "VALID")
         return C.crop2(t, 2)
+
+    # -- MXU-shaped fast forward (exact rewrite; see ops/fastconv.py) ----------
+
+    @staticmethod
+    def precompute_fast(params: Params) -> Params:
+        """Derive the composed/folded kernels once (host or device), so
+        ``apply_fast`` skips per-call kernel composition. Returns a dict to
+        pass as ``derived=``."""
+        d: Params = {}
+        for lvl, (up, tc) in enumerate((("up1", "tconvs1"), ("up2", "tconvs2"),
+                                        ("up3", "tconvs3"))):
+            cmid = params[up]["w"].shape[1] // 4
+            w3 = params[tc]["c0"]["w"]
+            d[f"K{lvl}"] = F.compose_up3(params[up]["w"], w3[:, :, :cmid])
+        cmid = params["up4"]["w"].shape[1] // 4
+        w3 = params["tconvs4"]["c0"]["w"]
+        d["K3f"] = F.compose_up3_folded_w(params["up4"]["w"], w3[:, :, :cmid])
+        d["w3b4"] = F.fold_kernel(w3[:, :, cmid:])
+        d["w3a4"] = F.fold_kernel(w3[:, :, :cmid])
+        for name in ("c0", "c1"):
+            d[f"enc1_{name}"] = F.fold_kernel(params["convs1"][name]["w"])
+        d["dec4_c1"] = F.fold_kernel(params["tconvs4"]["c1"]["w"])
+        d["final"] = F.fold_kernel_1x1(params["tconvs4"]["c2"]["w"])
+        return d
+
+    @staticmethod
+    def apply_fast(params: Params, x: jnp.ndarray, activation: str = "PReLU",
+                   derived: Optional[Params] = None) -> jnp.ndarray:
+        """Numerically-equivalent forward reformulated for the TPU MXU:
+        composed up-convs (no pixel-shuffle/concat) and width-folded
+        level-1 convs (ops/fastconv.py). Requires even H and W; falls back
+        to ``apply`` otherwise. Parity: tests/test_utnet_fast.py (~1e-6
+        rel fp32 vs ``apply``, which is itself golden-tested against the
+        reference UtNet, networks/UtNet.py:13-109)."""
+        n, H, W, _ = x.shape
+        if W % 2 or H % 2:
+            return UtNet.apply(params, x, activation)
+        if derived is None:
+            derived = UtNet.precompute_fast(params)
+        act = lambda t, p: C.apply_activation(t, activation, p.get("a"))
+        f32 = jnp.float32
+
+        def double_conv(p, t):
+            t = act(C.conv2d(t, p["c0"]["w"], p["c0"]["b"], "VALID"), p["c0"])
+            t = act(C.conv2d(t, p["c1"]["w"], p["c1"]["b"], "VALID"), p["c1"])
+            return t
+
+        # encoder level 1, width-folded (64-ch convs run as 128-ch)
+        xf = F.fold_w(C.reflect_pad(x, 2))          # (N, H+4, W/2+2, 6)
+        wb1 = xf.shape[2]
+        p = params["convs1"]["c0"]
+        t = F.folded_conv3(xf, derived["enc1_c0"], p["b"], (0, 0))
+        t = act(t, p) * F.col_mask(wb1, t.shape[3], 1, W + 3, t.dtype)
+        p = params["convs1"]["c1"]
+        t = F.folded_conv3(t, derived["enc1_c1"], p["b"], (0, 0))
+        l1f = act(t, p) * F.col_mask(wb1, t.shape[3], 2, W + 2, t.dtype)
+        fu = l1f.shape[3] // 2
+        pooled = jnp.maximum(l1f[..., :fu], l1f[..., fu:])
+        pooled = pooled.reshape(n, H // 2, 2, wb1, fu).max(axis=2)
+        l2_in = pooled[:, :, 1:1 + W // 2, :]       # == maxpool2x(l1)
+
+        l2 = double_conv(params["convs2"], l2_in)
+        l3 = double_conv(params["convs3"], C.maxpool2x(l2))
+        l4 = double_conv(params["convs4"], C.maxpool2x(l3))
+        b_ = params["bottom"]
+        t = act(C.conv2d(C.maxpool2x(l4), b_["c0"]["w"], b_["c0"]["b"], "VALID"), b_["c0"])
+        t = act(C.tconv2d_k3s1(t, b_["c1"]["w"], b_["c1"]["b"]), b_["c1"])
+
+        # decoder levels 1-3: composed up+conv (no shuffle, no concat)
+        for lvl, (skip, up, tc) in enumerate(((l4, "up1", "tconvs1"),
+                                              (l3, "up2", "tconvs2"),
+                                              (l2, "up3", "tconvs3"))):
+            up_p, tc_p = params[up], params[tc]
+            cmid = up_p["w"].shape[1] // 4
+            w3 = tc_p["c0"]["w"]
+            zA = F.up_conv3_composed(t, derived[f"K{lvl}"])
+            zB = C.conv2d(skip, w3[:, :, cmid:], None, "FULL")
+            bmap = F.up_bias_map(skip.shape[1], skip.shape[2], up_p["b"],
+                                 w3[:, :, :cmid], f32)
+            y = (zA.astype(f32) + zB.astype(f32) + bmap
+                 + tc_p["c0"]["b"].astype(f32)).astype(t.dtype)
+            y = act(y, tc_p["c0"])
+            t = act(C.tconv2d_k3s1(y, tc_p["c1"]["w"], tc_p["c1"]["b"]), tc_p["c1"])
+
+        # decoder level 4 + final 1x1, width-folded
+        up4, tc4 = params["up4"], params["tconvs4"]
+        cmid = up4["w"].shape[1] // 4
+        zA = F.up_conv3_composed_folded(t, derived["K3f"])   # (N, H+2, wb1, 2f)
+        zB = F.folded_conv3(l1f, derived["w3b4"], None, (2, 2))
+        planef = (F.col_mask(wb1, 2 * cmid, 2, W + 2, f32)
+                  * jnp.tile(up4["b"], 2).astype(f32))
+        bmapf = F.folded_conv3(jnp.broadcast_to(planef, (1, H, wb1, 2 * cmid)),
+                               derived["w3a4"], None, (2, 2)).astype(f32)
+        y = (zA.astype(f32) + zB.astype(f32) + bmapf
+             + jnp.tile(tc4["c0"]["b"], 2).astype(f32)).astype(t.dtype)
+        y = act(y, tc4["c0"]) * F.col_mask(wb1, y.shape[3], 1, W + 3, y.dtype)
+        y = F.folded_conv3(y, derived["dec4_c1"], tc4["c1"]["b"], (2, 2))
+        y = act(y, tc4["c1"])
+        y = F.folded_conv1x1(y, derived["final"], tc4["c2"]["b"])
+        y = y[:, 2:2 + H, 1:1 + W // 2, :]
+        return F.unfold_w(y)

@@ -1,0 +1,206 @@
+"""MXU-shaped exact reformulations of the UtNet hot ops.
+
+Two transforms, both *numerically exact* rewrites of the reference math
+(/root/reference/src/nind_denoise/networks/UtNet.py:97-109), derived and
+validated in tests/test_utnet_fast.py:
+
+1. **Composed up-convolutions.** The decoder pattern
+   ``conv3x3_FULL(concat(tconv2x2s2(t), skip))`` is linear in both branches,
+   and the reference applies no activation between the up-conv and the 3x3
+   (UtNet.py:99-109), so it factors into
+
+       lhs_dilated_conv4x4(t, K)  +  conv3x3_FULL(skip, W_skip)  +  biasmap
+
+   where ``K[a,b] = sum_{u,v} Wup[u,v] @ W3[u-a+2, v-b+2]`` composes the two
+   kernels once per call (tiny einsums) and ``biasmap`` is the exact spatial
+   field the up-conv bias induces through the FULL conv's zero padding
+   (constant in the interior, attenuated on the 2px border). This removes
+   the pixel-shuffle transposes and the channel concat — measured 22% of
+   the forward wall time on a v5e — and replaces them with one
+   convolution XLA lowers straight onto the MXU.
+
+2. **Width folding.** A 3x3 conv at 64 channels runs at ~35% MXU efficiency
+   on a 128-lane TPU (the output-channel dim rides the lanes); the same
+   math folded to (H, W/2, 2C) runs at ~2x the effective rate even though
+   it does 2x the MACs (half the folded kernel is structural zeros).
+   Folding is a reshape; the folded kernel indexes ``Wf[a, 1+db, u*C+c,
+   v*C+o] = w[a, 1+dx, c, o]`` with ``dx = 2*db + u - v`` (one valid
+   ``(db, u)`` per ``(dx, v)``). Buffers carry a static column window
+   ``(lo, hi)`` of real data; everything outside is kept exactly zero
+   (masked after each bias+activation) so VALID/FULL zero-padding
+   semantics are preserved bit-for-bit at the borders.
+
+These rewrites change floating-point association (kernel pre-composition),
+so parity with ``UtNet.apply`` is to ~1e-6 relative in fp32, far inside
+the bf16 compute noise of the product path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lambda xs, ws: lax.conv_dimension_numbers(xs, ws, ("NHWC", "HWIO", "NHWC"))
+
+
+# -- width folding -------------------------------------------------------------
+
+def fold_w(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W//2, 2C), channel layout v*C + c (W even)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def unfold_w(xf: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of fold_w."""
+    b, h, wb, c2 = xf.shape
+    return xf.reshape(b, h, wb * 2, c2 // 2)
+
+
+def fold_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """HWIO (kh, 3, cin, cout) -> folded (kh, 3, 2cin, 2cout).
+
+    Maps the W taps dx in [-1, 1] onto block taps db in [-1, 1] with
+    sub-position u; exact for aligned (even-offset) fold phase.
+    """
+    kh, kw, cin, cout = w.shape
+    assert kw == 3
+    wf = jnp.zeros((kh, 3, 2 * cin, 2 * cout), w.dtype)
+    for db in (-1, 0, 1):
+        for u in (0, 1):
+            for v in (0, 1):
+                dx = 2 * db + u - v
+                if -1 <= dx <= 1:
+                    wf = wf.at[:, 1 + db, u * cin:(u + 1) * cin,
+                               v * cout:(v + 1) * cout].set(w[:, 1 + dx])
+    return wf
+
+
+def fold_kernel_1x1(w: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, cin, cout) -> block-diagonal folded (1, 1, 2cin, 2cout)."""
+    _, _, cin, cout = w.shape
+    wf = jnp.zeros((1, 1, 2 * cin, 2 * cout), w.dtype)
+    for v in (0, 1):
+        wf = wf.at[:, :, v * cin:(v + 1) * cin, v * cout:(v + 1) * cout].set(w[:, :])
+    return wf
+
+
+def col_mask(wb: int, c2: int, lo: int, hi: int, dtype) -> jnp.ndarray:
+    """(wb, c2) validity mask: 1 where buffer column 2j+v in [lo, hi)."""
+    c = c2 // 2
+    cols = np.arange(2 * wb).reshape(wb, 2)             # (j, v) -> column
+    m = ((cols >= lo) & (cols < hi)).astype(np.float32)  # (wb, 2)
+    return jnp.asarray(np.repeat(m, c, axis=1).astype(np.float32)).astype(dtype)
+
+
+def folded_conv3(xf: jnp.ndarray, wf: jnp.ndarray, b: Optional[jnp.ndarray],
+                 h_pad: Tuple[int, int]) -> jnp.ndarray:
+    """Folded 3-column conv: SAME in block space (W), explicit H pad.
+
+    ``h_pad=(0,0)`` gives VALID-in-H (out H-2); ``(2,2)`` gives FULL.
+    The caller tracks the real-column window: VALID shifts it inward by 1,
+    FULL outward by 1 (same buffer width either way).
+    """
+    y = lax.conv_general_dilated(
+        xf, wf.astype(xf.dtype), (1, 1), (h_pad, (1, 1)),
+        dimension_numbers=_DN(xf.shape, wf.shape),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + jnp.tile(b, 2).astype(jnp.float32)
+    return y.astype(xf.dtype)
+
+
+def folded_conv1x1(xf: jnp.ndarray, wf: jnp.ndarray,
+                   b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    y = lax.conv_general_dilated(
+        xf, wf.astype(xf.dtype), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=_DN(xf.shape, wf.shape),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + jnp.tile(b, 2).astype(jnp.float32)
+    return y.astype(xf.dtype)
+
+
+# -- composed up-conv ----------------------------------------------------------
+
+def compose_up3(w_up: jnp.ndarray, w3a: jnp.ndarray) -> jnp.ndarray:
+    """Compose tconv(k2, s2) with a following 3x3 FULL conv.
+
+    ``w_up``: the up-conv matmul matrix (cin, 4*cmid), column layout
+    (u*2+v)*cmid + m (ops/conv.py:121-138). ``w3a``: (3, 3, cmid, cout),
+    the slice of the 3x3 kernel consuming the up branch.
+    Returns the *conv-form* (flipped) kernel (4, 4, cin, cout) for
+    ``lax.conv_general_dilated(t, K, lhs_dilation=(2,2), padding=3)``.
+    """
+    cin = w_up.shape[0]
+    cmid = w_up.shape[1] // 4
+    cout = w3a.shape[3]
+    wu = w_up.reshape(cin, 2, 2, cmid)
+    K = jnp.zeros((4, 4, cin, cout), jnp.float32)
+    for a in range(4):
+        for bb in range(4):
+            acc = None
+            for u in (0, 1):
+                for v in (0, 1):
+                    i3, j3 = u - a + 2, v - bb + 2
+                    if 0 <= i3 <= 2 and 0 <= j3 <= 2:
+                        term = jnp.einsum(
+                            "cm,mo->co", wu[:, u, v].astype(jnp.float32),
+                            w3a[i3, j3].astype(jnp.float32))
+                        acc = term if acc is None else acc + term
+            if acc is not None:
+                K = K.at[a, bb].set(acc)
+    return K[::-1, ::-1]
+
+
+def up_conv3_composed(t: jnp.ndarray, k_conv: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w, cin) -> (B, 2h+2, 2w+2, cout): the up+3x3-FULL pair as one
+    input-dilated conv (no bias; add the bias map + conv bias outside)."""
+    y = lax.conv_general_dilated(
+        t, k_conv.astype(t.dtype), (1, 1), ((3, 3), (3, 3)),
+        lhs_dilation=(2, 2), dimension_numbers=_DN(t.shape, k_conv.shape),
+        preferred_element_type=jnp.float32)
+    return y.astype(t.dtype)
+
+
+def up_bias_map(h2: int, w2: int, b_up: jnp.ndarray, w3a: jnp.ndarray,
+                dtype) -> jnp.ndarray:
+    """Exact (1, h2+2, w2+2, cout) field of the up-conv bias through the
+    3x3 FULL conv's zero padding (constant interior, 2px border falloff)."""
+    plane = jnp.broadcast_to(b_up.astype(dtype), (1, h2, w2, b_up.shape[0]))
+    y = lax.conv_general_dilated(
+        plane, w3a.astype(dtype), (1, 1), ((2, 2), (2, 2)),
+        dimension_numbers=_DN(plane.shape, w3a.shape),
+        preferred_element_type=jnp.float32)
+    return y
+
+
+def compose_up3_folded_w(w_up: jnp.ndarray, w3a: jnp.ndarray) -> jnp.ndarray:
+    """Like compose_up3, but emitting the *folded-W* output layout directly:
+    kernel (4, 3, cin, 2*cout) for
+    ``conv(t, K, lhs_dilation=(2,1), padding=((3,3),(2,2)))`` whose output
+    (B, 2h+2, wb, 2cout) holds buffer column 2j+v = grid column 2j+v-2
+    (i.e. the real window is [1, 2w+3) in a wb = w+2-block buffer)."""
+    K = compose_up3(w_up, w3a)[::-1, ::-1]          # un-flip -> K[alpha, beta]
+    cin, cout = K.shape[2], K.shape[3]
+    Kf = jnp.zeros((4, 3, cin, 2 * cout), jnp.float32)
+    for a in range(4):
+        for t in range(3):
+            for v in (0, 1):
+                beta = 3 - 2 * t + v                 # alpha_W = 2*(2-t)+v-1
+                if 0 <= beta <= 3:
+                    Kf = Kf.at[a, t, :, v * cout:(v + 1) * cout].set(
+                        K[3 - a, beta])              # H flipped for conv form
+    return Kf
+
+
+def up_conv3_composed_folded(t: jnp.ndarray, kf: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w, cin) -> (B, 2h+2, w+2, 2cout) folded-W composed up+3x3."""
+    y = lax.conv_general_dilated(
+        t, kf.astype(t.dtype), (1, 1), ((3, 3), (2, 2)),
+        lhs_dilation=(2, 1), dimension_numbers=_DN(t.shape, kf.shape),
+        preferred_element_type=jnp.float32)
+    return y.astype(t.dtype)
