@@ -380,10 +380,10 @@ def test_relics_registry():
 
 
 def test_torchvision_experiments_are_gated():
-    """MobileNetV3/deeplabv3 stubs resolve and fail with an informative
-    error naming the torchvision+pretrained dependency (upstream parity:
-    ThirdPartyNets.py:186-187 raises NotImplementedError itself)."""
-    for name in ("MobileNetV3", "deeplabv3_resnet101"):
-        net = get_network(name)
-        with pytest.raises(NotImplementedError, match="torchvision"):
-            net.init(jax.random.PRNGKey(0))
+    """MobileNetV3 is a real functional port (tests/test_third_party.py);
+    deeplabv3 stays a gated stub matching upstream's own forward, which
+    literally raises NotImplementedError (ThirdPartyNets.py:186-187)."""
+    assert get_network("MobileNetV3") is not None  # real model; parity suite
+    net = get_network("deeplabv3_resnet101")
+    with pytest.raises(NotImplementedError):
+        net.init(jax.random.PRNGKey(0))
