@@ -229,12 +229,16 @@ def bench_train(args, cpu_mps):
     opt = steps.make_optimizer(lr=1e-4, beta1=0.75, amsgrad=True)
     state = steps.TrainState(params, opt.init(params))
     step = steps.make_generator_train_step(
-        lambda p, x: UtNet.apply(p, x), opt, weights={"MSSSIM": 1.0},
+        lambda p, x: UtNet.apply_fast(p, x), opt, weights={"MSSSIM": 1.0},
         loss_cs=cs)
     rng = np.random.default_rng(0)
     clean = rng.random((bs, cs, cs, 3), dtype=np.float32)
     noisy = np.clip(clean + rng.normal(0, 0.05, clean.shape), 0, 1
                     ).astype(np.float32)
+    # device-resident batch: measure the train step, not the tunnel (the
+    # real loop's threaded loader pipelines uploads; on a co-located host
+    # the 24 MB/step feed is noise, on this tunnel it would dominate 10x)
+    clean, noisy = jax.device_put(clean), jax.device_put(noisy)
     state, m = step(state, clean, noisy)  # compile + warm
     assert np.isfinite(float(m["weighted"]))
     reps = 5

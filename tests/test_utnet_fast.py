@@ -52,6 +52,29 @@ def test_apply_fast_jits_and_nonsquare():
     assert _rel_err(out, ref) < 1e-5
 
 
+def test_apply_fast_gradients():
+    """value_and_grad through apply_fast matches apply: the training loop
+    (train/loop.py) routes UtNet through the fast path, so the rewrites
+    must be exact under differentiation too (the kernel compositions are
+    linear, so grads recompose the same way)."""
+    params = UtNet.init(jax.random.PRNGKey(5), funit=8)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((2, 104, 104, 3), dtype=np.float32))
+    tgt = jnp.asarray(rng.random((2, 104, 104, 3), dtype=np.float32))
+
+    def loss(fwd):
+        return lambda p: jnp.mean((fwd(p, x) - tgt) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss(UtNet.apply))(params)
+    v_fast, g_fast = jax.value_and_grad(loss(UtNet.apply_fast))(params)
+    assert abs(float(v_fast) - float(v_ref)) < 1e-6 * max(1.0, abs(float(v_ref)))
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    flat_f = jax.tree_util.tree_leaves(g_fast)
+    assert len(flat_r) == len(flat_f)
+    for a, b in zip(flat_f, flat_r):
+        assert _rel_err(np.asarray(a), np.asarray(b)) < 2e-5
+
+
 def test_folded_conv_exactness():
     """fold_kernel/folded_conv3 vs plain conv, VALID and FULL, with the
     real-column window bookkeeping."""
