@@ -47,6 +47,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from ..utils import jaxcache
+    jaxcache.enable()
     from ..core import imgio
     from ..engine.tile_engine import make_engine
     from ..pipeline import denoise_image_cli

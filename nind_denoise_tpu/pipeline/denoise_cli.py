@@ -352,6 +352,8 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
 
 
 def main(argv=None):
+    from ..utils import jaxcache
+    jaxcache.enable()
     args = build_parser().parse_args(argv)
     input_path = pathlib.Path(args.raw_image)
     if input_path.is_dir():

@@ -166,6 +166,8 @@ def imgio_save_uint8(img_hwc: np.ndarray, path: str, quality: int = 95) -> None:
 
 
 def main(argv=None):
+    from ..utils import jaxcache
+    jaxcache.enable()
     from ..utils.log import maybe_profile
 
     args, _ = build_parser().parse_known_args_layered(argv)

@@ -273,6 +273,8 @@ def test_generator(gen, test_set, weights, output_to_dir: Optional[str] = None) 
 
 
 def main(argv=None):
+    from ..utils import jaxcache
+    jaxcache.enable()
     import jax
 
     from ..models import get_network
