@@ -262,6 +262,11 @@ MODES = {
 
 
 def main():
+    # persistent compile cache: the six modes compile ~10 distinct programs,
+    # 30-120 s each through the tunnel cold; cached they load in seconds
+    from nind_denoise_tpu.utils import jaxcache
+    jaxcache.enable()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="6 MP instead of 24 MP")
     ap.add_argument("--mode", default="all", choices=["all"] + list(MODES))
