@@ -132,10 +132,12 @@ def bench_rl(args, cpu_mps):
     img = jnp.asarray(np.random.default_rng(0).random((2000, 3000, 3),
                                                       dtype=np.float32))
     np.asarray(rl_deblur.rl_deblur(img, 1.0, 10).ravel()[0])
+    reps = 4  # single-rep timing folds ~25 ms dispatch latency into the number
     t0 = time.perf_counter()
-    y = rl_deblur.rl_deblur(img, 1.0, 10)
+    for _ in range(reps):
+        y = rl_deblur.rl_deblur(img, 1.0, 10)
     np.asarray(y.ravel()[0])
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / reps
     return {"metric": "rl_deblur_6mp_10iter", "value": round(6.0 / dt, 2),
             "unit": "MP/s", "vs_baseline": None}
 

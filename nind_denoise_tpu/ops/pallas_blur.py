@@ -25,16 +25,15 @@ No ``pltpu.roll``, no lane-offset slices, all lane dims 128-aligned.
 Falls back to interpret mode off-TPU (tests run it on CPU).
 
 STATUS (measured on the target v5e chip, 6 MP, RL sigma=1 x10 iterations):
-compiles cleanly (the round-1 pathology is gone), numerics match the lax
-path to 5e-7 (blur) / 8e-6 (RL), and RL throughput is 94.8 MP/s at
-band_h=128 vs 79.5 MP/s for the XLA path (+19%; band_h=256 exceeds the
-16 MB scoped-VMEM limit). First compile through the remote service is
-~60 s vs seconds for XLA, so the XLA path remains the product default;
-select this kernel with ``rl_deblur(..., impl='pallas')`` or the CLI's
-``--rl-impl pallas``. Remaining headroom is per-block overhead (~60 us x
-48 blocks/blur), not bandwidth — a multi-band inner loop with
-double-buffered DMA is the next step if RL ever matters to the pipeline
-bound.
+``rl_deblur_pallas_fused`` — one pallas_call per RL iteration, grid over
+channels only, double-buffered band DMA in/out, both blurs + ratio +
+multiply fused in VMEM — runs **267.8 MP/s vs 118.4 MP/s** for the XLA
+path (2.26x; on-chip parity 3.7e-6 rel). The round-1 blur-per-call layout
+measured 160 MP/s: its remaining cost was per-program overhead (~60 us x
+48 programs/blur x 20 blurs), which the in-kernel band loop amortizes to
+3 programs/iteration. ``rl_deblur(impl='auto')`` (the product default)
+selects the fused kernel on TPU; first compile through the remote service
+is slow but the persistent cache (utils/jaxcache.py) makes it one-time.
 """
 
 from __future__ import annotations
@@ -136,6 +135,163 @@ def _gauss_blur_planar(img_chw: jnp.ndarray, sigma: float = 1.0,
     return out[:, :h, :w]
 
 
+def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, sem_u, sem_d, sem_o, *,
+                    taps: Tuple[float, ...], band_h: int, halo2: int,
+                    h: int, w: int, w_out: int, n_bands: int):
+    """One full RL iteration for one channel: u <- u * blur(d / blur(u)).
+
+    Grid is (C,); each program loops its channel's row bands with
+    double-buffered input and output DMAs, so per-program overhead is paid
+    3x per iteration instead of 3 x n_bands x 2 (the blur-per-call layout).
+    All shifted accesses are static sublane slices; the horizontal passes
+    transpose in VMEM (sublane-major discipline of the band blur above).
+
+    Exactness at the borders: the lax path (ops/rl_deblur._blur) edge-
+    replicates the *intermediate* ratio, which differs from blurring a
+    replicated input. The kernel therefore recomputes the replicate fix on
+    the ratio itself: column fixes in transposed layout (cols = sublanes),
+    row fixes in normal layout (rows = sublanes), with the bottom source
+    row dynamically sliced at image row h-1.
+    """
+    c = pl.program_id(0)
+    r = (len(taps) - 1) // 2
+    est_rows = band_h + 2 * r
+    est_cols = w_out + 2 * r
+    eps = 1e-8
+
+    def in_dma(buf, hbm, sem, slot, i):
+        return pltpu.make_async_copy(
+            hbm.at[c, pl.ds(i * band_h, band_h + 2 * halo2), :],
+            buf.at[slot], sem.at[slot])
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            so.at[slot], o_hbm.at[c, pl.ds(i * band_h, band_h), :],
+            sem_o.at[slot])
+
+    in_dma(su, u_hbm, sem_u, 0, 0).start()
+    in_dma(sd, d_hbm, sem_d, 0, 0).start()
+
+    def body(i, _):
+        s = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_bands)
+        def _():
+            in_dma(su, u_hbm, sem_u, 1 - s, i + 1).start()
+            in_dma(sd, d_hbm, sem_d, 1 - s, i + 1).start()
+
+        in_dma(su, u_hbm, sem_u, s, i).wait()
+        in_dma(sd, d_hbm, sem_d, s, i).wait()
+
+        su_s, sd_s = su[s], sd[s]
+        # est = blur(u) over the band + r halo rows / cols
+        off = halo2 - 2 * r
+        v = taps[0] * su_s[off:off + est_rows, :]
+        for k in range(1, len(taps)):
+            v = v + taps[k] * su_s[off + k:off + k + est_rows, :]
+        vt = v.T                                     # (w_in, est_rows)
+        est_t = taps[0] * vt[0:est_cols, :]
+        for k in range(1, len(taps)):
+            est_t = est_t + taps[k] * vt[k:k + est_cols, :]
+        d_t = sd_s[halo2 - r:halo2 - r + est_rows, :].T[r:r + est_cols, :]
+        ratio_t = d_t / jnp.maximum(est_t, eps)      # (est_cols, est_rows)
+        # column replicate fix (cols are sublanes here): abs col = m - r
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (est_cols, est_rows), 0)
+        ratio_t = jnp.where(iota_m < r, ratio_t[r:r + 1, :], ratio_t)
+        ratio_t = jnp.where(iota_m >= w + r, ratio_t[w + r - 1:w + r, :],
+                            ratio_t)
+        ratio = ratio_t.T                            # (est_rows, est_cols)
+        # row replicate fix (rows are sublanes here): abs row = i*band_h-r+e
+        e0 = i * band_h - r
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, (est_rows, est_cols), 0)
+        ratio = jnp.where(iota_e + e0 < 0, ratio[r:r + 1, :], ratio)
+        # rows >= h occur only in the LAST band, so the replicate source
+        # (image row h-1) sits at a STATIC index there; elsewhere the mask
+        # is all-false and the where ignores it (Mosaic has no dynamic
+        # value slicing, so a traced source index would not lower)
+        e_src = h - 1 - (n_bands - 1) * band_h + r
+        ratio = jnp.where(iota_e + e0 > h - 1, ratio[e_src:e_src + 1, :],
+                          ratio)
+        # corr = blur(ratio)
+        cv = taps[0] * ratio[0:band_h, :]
+        for k in range(1, len(taps)):
+            cv = cv + taps[k] * ratio[k:k + band_h, :]
+        cvt = cv.T                                   # (est_cols, band_h)
+        corr_t = taps[0] * cvt[0:w_out, :]
+        for k in range(1, len(taps)):
+            corr_t = corr_t + taps[k] * cvt[k:k + w_out, :]
+        u_t = su_s[halo2:halo2 + band_h, :].T[2 * r:2 * r + w_out, :]
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(s, i - 2).wait()                 # slot free to rewrite
+
+        so[s] = (u_t * corr_t).T                     # (band_h, w_out)
+        out_dma(s, i).start()
+
+    jax.lax.fori_loop(0, n_bands, body, None)
+    for tail in (n_bands - 2, n_bands - 1):
+        if tail >= 0:
+            out_dma(jax.lax.rem(jnp.int32(tail), 2), tail).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sigma", "iterations", "interpret"))
+def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
+                           iterations: int = 10,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Richardson-Lucy with a fused per-iteration kernel: one pallas_call
+    per iteration (grid = channels), both blurs + ratio + multiply in VMEM,
+    double-buffered band DMA. Semantics of ops/rl_deblur.rl_deblur (dt=1,
+    edge-replicate boundary, eps=1e-8); parity asserted in
+    tests/test_pallas_blur.py."""
+    hh, ww, c = img_hwc.shape
+    interpret = interpret or jax.default_backend() != "tpu"
+    taps = _taps(sigma)
+    r = (len(taps) - 1) // 2
+    band_h = max(8, (128 - 2 * r) // 8 * 8)   # est_rows <= 128: aligned lanes
+    halo2 = _round_up(2 * r, 8)
+    hb = _round_up(hh, band_h)
+    w_out = _round_up(ww, 128)
+    w_in = w_out + 128
+    n_bands = hb // band_h
+
+    d0 = jnp.maximum(jnp.transpose(img_hwc, (2, 0, 1)).astype(jnp.float32),
+                     0.0)
+
+    def pad_ext(x):
+        x = jnp.pad(x, ((0, 0), (halo2, halo2 + hb - hh), (2 * r, 2 * r)),
+                    mode="edge")
+        return jnp.pad(x, ((0, 0), (0, 0), (0, w_in - (ww + 4 * r))))
+
+    d_ext = pad_ext(d0)
+    step = pl.pallas_call(
+        functools.partial(_rl_iter_kernel, taps=taps, band_h=band_h,
+                          halo2=halo2, h=hh, w=ww, w_out=w_out,
+                          n_bands=n_bands),
+        out_shape=jax.ShapeDtypeStruct((c, hb, w_out), jnp.float32),
+        grid=(c,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
+            pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
+            pltpu.VMEM((2, band_h, w_out), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+
+    def body(_, u):
+        return step(pad_ext(u), d_ext)[:, :hh, :ww]
+
+    out = jax.lax.fori_loop(0, iterations, body, d0)
+    return jnp.transpose(out, (1, 2, 0))
+
+
 def gauss_blur_pallas(img_hwc: jnp.ndarray, sigma: float = 1.0,
                       band_h: int = 128, interpret: bool = False) -> jnp.ndarray:
     """(H, W, C) float32 -> same shape. HWC wrapper over the planar kernel."""
@@ -145,23 +301,3 @@ def gauss_blur_pallas(img_hwc: jnp.ndarray, sigma: float = 1.0,
     return jnp.transpose(out, (1, 2, 0))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("sigma", "iterations", "band_h", "interpret"))
-def rl_deblur_pallas(img_hwc: jnp.ndarray, sigma: float = 1.0,
-                     iterations: int = 10, band_h: int = 128,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Richardson-Lucy deconvolution with the pallas blur as the inner op
-    (semantics of ops/rl_deblur.rl_deblur, dt=1). Runs planar internally:
-    one HWC<->CHW transpose pair total, not per blur."""
-    d = jnp.maximum(jnp.transpose(img_hwc, (2, 0, 1)).astype(jnp.float32), 0.0)
-    eps = 1e-8
-    blur = functools.partial(_gauss_blur_planar, sigma=sigma, band_h=band_h,
-                             interpret=interpret)
-
-    def body(_, u):
-        est = blur(u)
-        corr = blur(d / jnp.maximum(est, eps))
-        return u * corr
-
-    out = jax.lax.fori_loop(0, iterations, body, d)
-    return jnp.transpose(out, (1, 2, 0))

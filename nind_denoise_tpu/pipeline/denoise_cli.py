@@ -59,10 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Input is already a stage-1 TIFF")
     p.add_argument("--sigma", default="1", help="RL-deblur sigma")
     p.add_argument("--iterations", default="10", help="RL-deblur iterations")
-    p.add_argument("--rl-impl", default="xla", choices=["xla", "pallas"],
-                   dest="rl_impl",
-                   help="on-device RL kernel: xla (default; fast compile) or "
-                        "pallas (fused VMEM bands, ~19%% faster steady-state)")
+    p.add_argument("--rl-impl", default="auto",
+                   choices=["auto", "xla", "pallas"], dest="rl_impl",
+                   help="on-device RL kernel: auto (default: fused pallas "
+                        "VMEM kernel on TPU, 2.26x the xla path; xla "
+                        "elsewhere), or force xla/pallas")
     p.add_argument("--height", help="Max output height")
     p.add_argument("--copy_num", help="darktable duplicate number (XMP naming)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -182,7 +183,7 @@ def _write_encoded(img01_hwc, out_fpath: pathlib.Path, quality: str) -> None:
 
 def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
                       sigma: int, iterations: int, quality: str,
-                      verbose: bool = False, impl: str = "xla") -> None:
+                      verbose: bool = False, impl: str = "auto") -> None:
     """On-device RL on a device-resident image, gmic post-op semantics
     (*65535/256, cut 0-255, round), uint8 quantize on device, single fetch."""
     import jax.numpy as jnp
@@ -200,7 +201,7 @@ def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
 
 def _rl_deblur_ondevice(in_fpath: pathlib.Path, out_fpath: pathlib.Path,
                         sigma: int, iterations: int, quality: str,
-                        verbose: bool = False, impl: str = "xla") -> None:
+                        verbose: bool = False, impl: str = "auto") -> None:
     import cv2
 
     from ..ops import rl_deblur

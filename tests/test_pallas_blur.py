@@ -1,4 +1,9 @@
-"""Pallas Gaussian-blur kernel vs the lax reference (interpret mode on CPU)."""
+"""Pallas kernels vs the lax reference (interpret mode on CPU).
+
+The fused RL kernel is the product path on TPU (rl_deblur impl='auto'),
+so its parity suite covers the band/boundary geometry: multi-band images,
+single-band, odd sizes, and non-unit sigma (wider taps).
+"""
 
 import numpy as np
 import jax.numpy as jnp
@@ -19,10 +24,29 @@ def test_pallas_blur_matches_lax(hw, sigma):
     np.testing.assert_allclose(got, ref, atol=2e-6)
 
 
-def test_pallas_rl_matches_lax():
+@pytest.mark.parametrize("hw,sigma,iters", [
+    ((200, 150), 1.0, 3),    # 2 bands: interior + both boundary fixes
+    ((97, 131), 1.0, 4),     # single band, odd sizes
+    ((130, 260), 2.0, 2),    # wider taps (r=6), lane-unaligned width
+    ((363, 140), 1.0, 2),    # 4 bands incl. a nearly-empty tail band
+])
+def test_pallas_rl_fused_matches_lax(hw, sigma, iters):
     rng = np.random.default_rng(1)
-    img = rng.random((48, 64, 3), dtype=np.float32) + 0.05
-    ref = np.asarray(rl_deblur.rl_deblur(jnp.asarray(img), 1.0, 4))
-    got = np.asarray(pallas_blur.rl_deblur_pallas(jnp.asarray(img), 1.0, 4,
-                                                  band_h=16, interpret=True))
-    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    img = rng.random((*hw, 3), dtype=np.float32) + 0.05
+    ref = np.asarray(rl_deblur.rl_deblur(jnp.asarray(img), sigma, iters,
+                                         impl="xla"))
+    got = np.asarray(pallas_blur.rl_deblur_pallas_fused(
+        jnp.asarray(img), sigma, iters, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_rl_auto_dispatch():
+    """impl='auto' must fall back to the lax path off-TPU (no interpret-mode
+    surprise in production CPU runs) and accept batched input."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((40, 56, 3), dtype=np.float32))
+    a = np.asarray(rl_deblur.rl_deblur(img, 1.0, 2, impl="auto"))
+    b = np.asarray(rl_deblur.rl_deblur(img, 1.0, 2, impl="xla"))
+    np.testing.assert_array_equal(a, b)
+    batched = np.asarray(rl_deblur.rl_deblur(img[None], 1.0, 2, impl="auto"))
+    np.testing.assert_array_equal(batched[0], b)
