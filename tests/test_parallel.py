@@ -101,3 +101,25 @@ def test_graft_entry_forward():
     small = jnp.zeros((1, 104, 104, 3), jnp.float32)  # keep CPU test fast
     y = jax.jit(fn)(params, small)
     assert y.shape == (1, 104, 104, 3)
+
+
+def test_tp_forward_matches_single_device():
+    """Tensor parallelism: out-channel-sharded params (GSPMD collectives)
+    must reproduce the single-device forward. funit=8 so every channel dim
+    divides the 8-way model mesh (the final 1x1's cout=3 stays replicated)."""
+    from nind_denoise_tpu.parallel import tensor_parallel as tp
+
+    params = UtNet.init(jax.random.PRNGKey(1), funit=8)
+    apply_fn = lambda p, x: UtNet.apply(p, x)
+    x = jnp.asarray(np.random.default_rng(3).random((2, 104, 104, 3),
+                                                    dtype=np.float32))
+    ref = np.asarray(jax.jit(apply_fn)(params, x))
+
+    mesh = tp.make_model_mesh(8)
+    p_tp = tp.shard_params_tp(params, mesh)
+    # the big decoder weights must actually be sharded, not replicated
+    w = p_tp["tconvs1"]["c0"]["w"]
+    assert not w.sharding.is_fully_replicated
+    assert w.addressable_shards[0].data.shape[-1] == w.shape[-1] // 8
+    got = np.asarray(tp.tp_forward(apply_fn, mesh)(p_tp, x))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
