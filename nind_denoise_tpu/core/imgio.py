@@ -58,6 +58,29 @@ def load_img(fpath: str) -> np.ndarray:
     raise TypeError(f"imgio.load_img: {fpath} has unsupported dtype {rgb.dtype}")
 
 
+def load_img_raw(fpath: str) -> Tuple[np.ndarray, float]:
+    """Image file -> (HWC array in its STORAGE dtype, scale-to-[0,1]).
+
+    The streaming engine (TileEngine.denoise_raw) normalizes on device, so
+    callers that feed it should skip load_img's host-side fp32 divide +
+    CHW transpose (~1 s/6 MP on a 1-core host) and pass storage pixels
+    straight through — same wire bytes (uint16), zero host prep."""
+    if not os.path.isfile(fpath):
+        raise FileNotFoundError(fpath)
+    if cv2 is None:
+        raise RuntimeError("imgio.load_img_raw requires opencv")
+    bgr = cv2.imread(fpath, flags=cv2.IMREAD_COLOR + cv2.IMREAD_ANYDEPTH)
+    if bgr is None:
+        raise ValueError(f"imgio.load_img_raw: could not decode {fpath}")
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    scale = {np.dtype(np.uint8): 255.0, np.dtype(np.uint16): 65535.0,
+             np.dtype(np.float32): 1.0}.get(rgb.dtype)
+    if scale is None:
+        raise TypeError(
+            f"imgio.load_img_raw: {fpath} has unsupported dtype {rgb.dtype}")
+    return rgb, scale
+
+
 def image_hw(fpath: str) -> Tuple[int, int]:
     """(height, width) without keeping the full decode around."""
     img = cv2.imread(fpath, flags=cv2.IMREAD_COLOR + cv2.IMREAD_ANYDEPTH)

@@ -98,7 +98,7 @@ def main(argv=None):
 
     def decode_ahead(fpath):
         if fpath not in pending:
-            pending[fpath] = decode_pool.submit(imgio.load_img, fpath)
+            pending[fpath] = decode_pool.submit(imgio.load_img_raw, fpath)
 
     losses_per_set: List[dict] = []
     for aset in sets:
@@ -117,13 +117,15 @@ def main(argv=None):
                 decode_ahead(os.path.join(set_dir, work[idx + 1]))
             if not (os.path.isfile(out_fpath) and args.skip_existing):
                 fut = pending.pop(in_fpath, None)
-                img = fut.result() if fut is not None else imgio.load_img(in_fpath)
+                raw, scale = (fut.result() if fut is not None
+                              else imgio.load_img_raw(in_fpath))
                 if args.whole_image:
+                    img = raw.astype("float32").transpose(2, 0, 1) / scale
                     out = engine.denoise_whole(img, pad=args.pad or 128)
                     imgio.save_img(out, out_fpath)
                 else:
-                    out = engine.denoise_raw(img.transpose(1, 2, 0), 1.0,
-                                             out_dtype="uint16")
+                    # storage dtype straight to the streaming engine
+                    out = engine.denoise_raw(raw, scale, out_dtype="uint16")
                     denoise_image_cli.imgio_save_uint16(out, out_fpath)
             cur = score.get_losses(baseline, out_fpath)
             print(f"in: {in_fpath}, out: {out_fpath}, clean: {baseline}")

@@ -155,10 +155,13 @@ def _get_engine(mcfg: dict, args):
 
 def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
     """In-memory denoise: file -> DEVICE-resident float32 HWC array (fast
-    path; the result feeds on-device RL without ever crossing the wire)."""
+    path; the result feeds on-device RL without ever crossing the wire).
+    Storage-dtype pixels go straight to the streaming engine — the [0,1]
+    normalization is fused into the tile program on device, skipping
+    ~1 s/6 MP of host fp32 divide + transpose."""
     engine = _get_engine(mcfg, args)
-    img = imgio.load_img(str(in_fpath))
-    return engine.denoise_raw(img.transpose(1, 2, 0), 1.0, out_dtype="device")
+    raw, scale = imgio.load_img_raw(str(in_fpath))
+    return engine.denoise_raw(raw, scale, out_dtype="device")
 
 
 def _encode_u8(u8_hwc: np.ndarray, out_fpath: pathlib.Path, quality: str) -> None:

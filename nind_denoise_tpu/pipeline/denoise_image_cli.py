@@ -126,21 +126,26 @@ def run(args) -> str:
                          debug_dir="dbg" if args.debug else None)
 
     start_time = time.time()
-    img = imgio.load_img(args.input)
     if args.whole_image:
+        img = imgio.load_img(args.input)
         out_chw = engine.denoise_whole(img, pad=args.pad or 0)
         imgio.save_img(out_chw, args.output)
     else:
+        # storage-dtype pixels straight to the streaming engine: the [0,1]
+        # normalization fuses into the tile program (saves the host fp32
+        # divide + transpose, and uint16 uploads are exact vs the f32->f16
+        # wire cast)
+        raw, scale = imgio.load_img_raw(args.input)
         ext = os.path.splitext(args.output)[1].lower()
         # quantize on device to minimize the downlink (engine docstring)
         if ext in (".png", ".tif"):
-            out = engine.denoise_raw(img.transpose(1, 2, 0), 1.0, out_dtype="uint16")
+            out = engine.denoise_raw(raw, scale, out_dtype="uint16")
             imgio_save_uint16(out, args.output)
         elif ext in (".jpg", ".jpeg"):
-            out = engine.denoise_raw(img.transpose(1, 2, 0), 1.0, out_dtype="uint8")
+            out = engine.denoise_raw(raw, scale, out_dtype="uint8")
             imgio_save_uint8(out, args.output)
         else:  # .tiff fp32, unclipped
-            out = engine.denoise_raw(img.transpose(1, 2, 0), 1.0,
+            out = engine.denoise_raw(raw, scale,
                                      out_dtype="float32"
                                      if args.precision == "float32" else "float16")
             imgio.save_img(out.astype(np.float32).transpose(2, 0, 1), args.output)

@@ -16,6 +16,18 @@ def test_load_8_and_16_bit(fixture_images):
         assert img.min() >= 0.0 and img.max() <= 1.0
 
 
+def test_load_img_raw_matches_load_img(fixture_images):
+    """raw storage dtype + scale must reproduce load_img exactly (the
+    streaming-engine fast path divides on device instead)."""
+    for key, dtype, scale in (("img8", np.uint8, 255.0),
+                              ("img16", np.uint16, 65535.0)):
+        raw, s = imgio.load_img_raw(fixture_images[key])
+        assert raw.dtype == dtype and s == scale
+        ref = imgio.load_img(fixture_images[key])
+        np.testing.assert_array_equal(
+            raw.astype(np.float32).transpose(2, 0, 1) / s, ref)
+
+
 @pytest.mark.parametrize("ext,maxerr", [
     (".jpg", 0.20),    # lossy
     (".png", 1 / 65535 + 1e-7),
