@@ -17,14 +17,41 @@ this workload (a ~31 M-param conv net over independent tiles/crops) is:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_DIST_INITIALIZED = False
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Join a multi-host pod via ``jax.distributed.initialize``.
+
+    No-op (returns False) on a single host: it only activates when a
+    coordinator address is passed or present as ``JAX_COORDINATOR_ADDRESS``
+    (on Cloud TPU pods, ``jax.distributed.initialize()``'s own metadata
+    auto-detection fills the rest). Idempotent; ``make_mesh`` calls it
+    lazily so pod workers need no extra ceremony."""
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return True
+    coord = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord is None and num_processes is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _DIST_INITIALIZED = True
+    return True
+
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    init_distributed()
     devs = jax.devices()
     if n_devices is not None:
         if len(devs) < n_devices:
