@@ -153,6 +153,23 @@ def _get_engine(mcfg: dict, args):
     return _ENGINE_CACHE[key]
 
 
+_DECODE_AHEAD: dict = {}
+_DECODE_POOL = None
+
+
+def _prefetch_decode(fpath: pathlib.Path) -> None:
+    """Directory mode: decode the NEXT image on a thread while the current
+    one streams through the chip (cv2.imread releases the GIL)."""
+    global _DECODE_POOL
+    import concurrent.futures as cf
+
+    if _DECODE_POOL is None:
+        _DECODE_POOL = cf.ThreadPoolExecutor(max_workers=1)
+    key = str(fpath)
+    if key not in _DECODE_AHEAD:
+        _DECODE_AHEAD[key] = _DECODE_POOL.submit(imgio.load_img_raw, key)
+
+
 def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
     """In-memory denoise: file -> DEVICE-resident float32 HWC array (fast
     path; the result feeds on-device RL without ever crossing the wire).
@@ -160,7 +177,9 @@ def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
     normalization is fused into the tile program on device, skipping
     ~1 s/6 MP of host fp32 divide + transpose."""
     engine = _get_engine(mcfg, args)
-    raw, scale = imgio.load_img_raw(str(in_fpath))
+    fut = _DECODE_AHEAD.pop(str(in_fpath), None)
+    raw, scale = fut.result() if fut is not None \
+        else imgio.load_img_raw(str(in_fpath))
     return engine.denoise_raw(raw, scale, out_dtype="device")
 
 
@@ -361,10 +380,17 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     input_path = pathlib.Path(args.raw_image)
     if input_path.is_dir():
-        for f in sorted(input_path.iterdir()):
-            if f.suffix.lower() in VALID_EXTENSIONS:
-                print(f"\n----------------------- {f.name} -------------------------\n")
-                denoise_file(args, f)
+        # reference parity: dir mode iterates the RAW extension list
+        # (denoise.py:491-500). Superset: with --tiff-input it accepts
+        # TIFFs (the reference's dir loop silently matched nothing there)
+        exts = [".tif", ".tiff"] if args.tiff_input else VALID_EXTENSIONS
+        files = [f for f in sorted(input_path.iterdir())
+                 if f.suffix.lower() in exts]
+        for i, f in enumerate(files):
+            if args.tiff_input and i + 1 < len(files):
+                _prefetch_decode(files[i + 1])  # overlap decode with compute
+            print(f"\n----------------------- {f.name} -------------------------\n")
+            denoise_file(args, f)
     else:
         denoise_file(args, input_path)
 

@@ -126,6 +126,32 @@ def test_denoise_cli_tiff_input_end_to_end(tmp_path, tiny_checkpoint, sidecar):
     assert back.shape == (200, 220, 3)
 
 
+def test_denoise_cli_tiff_directory_mode(tmp_path, tiny_checkpoint):
+    """Directory input with --tiff-input: every TIFF is processed (the
+    reference's dir loop only matched RAW extensions, so its TIFF dir mode
+    silently did nothing) with decode-ahead prefetch across images."""
+    import cv2
+
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    rng = np.random.default_rng(5)
+    src = tmp_path / "batch"
+    src.mkdir()
+    for i in range(3):
+        img = (rng.random((150, 160, 3)) * 65535).astype(np.uint16)
+        cv2.imwrite(str(src / f"im{i}.tif"), img)
+    (src / "notes.txt").write_text("ignored")
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    denoise_cli.main([
+        str(src), "--tiff-input", "-o", str(out_dir),
+        "--model_path", tiny_checkpoint, "--cs", "104", "--ucs", "88",
+        "--batch_size", "2",
+    ])
+    outs = sorted(p.name for p in out_dir.iterdir())
+    assert outs == ["im0.jpg", "im1.jpg", "im2.jpg"], outs
+
+
 def test_denoise_cli_no_deblur(tmp_path, tiny_checkpoint):
     import cv2
 
