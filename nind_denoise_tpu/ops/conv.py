@@ -11,8 +11,10 @@ reference's torch modules, /root/reference/src/nind_denoise/networks/UtNet.py):
   a 1x1 convolution to ``4*out`` channels followed by a 2x2 pixel-shuffle
   (depth_to_space). A 1x1 conv is a pure matmul — the best possible op for
   the systolic array — and the pixel shuffle is a free layout change for XLA.
-* All convs take ``preferred_element_type=float32`` so bfloat16 activations
-  accumulate in fp32.
+* float32 convs take ``preferred_element_type=float32``; bfloat16 convs
+  leave it unset (the MXU still accumulates them in fp32 internally, and an
+  explicit f32 output breaks the conv transpose rule under differentiation
+  — f32 cotangents meet bf16 operands; see ``_pet``).
 
 Parameter convention: plain convs store kernels as HWIO; up-convs store the
 (in, 4*out) matmul matrix with output channel index c = (u*2+v)*out + o for
@@ -30,6 +32,11 @@ from jax import lax
 _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
 
 
+def _pet(dtype):
+    """f32 accumulation-output for f32 inputs, unset for bf16 (differentiable)."""
+    return jnp.float32 if dtype == jnp.float32 else None
+
+
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
            padding: str | Tuple[Tuple[int, int], Tuple[int, int]] = "VALID",
            stride: int = 1) -> jnp.ndarray:
@@ -40,9 +47,9 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
         padding = ((kh - 1, kh - 1), (kw - 1, kw - 1))
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride, stride), padding=padding,
-        dimension_numbers=_DN, preferred_element_type=jnp.float32)
+        dimension_numbers=_DN, preferred_element_type=_pet(x.dtype))
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -67,9 +74,9 @@ def conv2d_torch(x: jnp.ndarray, w: jnp.ndarray,
         x, w.astype(x.dtype), window_strides=(stride, stride),
         padding=((p, p), (p, p)), rhs_dilation=(dilation, dilation),
         feature_group_count=groups, dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(x.dtype))
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -81,9 +88,9 @@ def conv2d_dilated(x: jnp.ndarray, w: jnp.ndarray,
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride, stride), padding="VALID",
         rhs_dilation=(dilation, dilation), dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(x.dtype))
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -98,9 +105,9 @@ def tconv2d_k3s1_dil(x: jnp.ndarray, w_conv: jnp.ndarray,
     y = lax.conv_general_dilated(
         x, w_conv.astype(x.dtype), window_strides=(1, 1),
         padding=((2 * d, 2 * d), (2 * d, 2 * d)), rhs_dilation=(d, d),
-        dimension_numbers=dn, preferred_element_type=jnp.float32)
+        dimension_numbers=dn, preferred_element_type=_pet(x.dtype))
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -112,9 +119,9 @@ def tconv2d_k3s3(x: jnp.ndarray, w_conv: jnp.ndarray,
     y = lax.conv_general_dilated(
         x, w_conv.astype(x.dtype), window_strides=(1, 1),
         padding=((2, 2), (2, 2)), lhs_dilation=(3, 3), dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(x.dtype))
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -129,7 +136,7 @@ def upconv2x(x: jnp.ndarray, w_mat: jnp.ndarray,
     cout4 = w_mat.shape[1]
     cout = cout4 // 4
     y = jnp.einsum("nhwi,io->nhwo", x, w_mat.astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+                   preferred_element_type=_pet(x.dtype)).astype(x.dtype)
     y = y.reshape(n, h, wdt, 2, 2, cout)            # (..., u, v, o)
     y = y.transpose(0, 1, 3, 2, 4, 5)               # (n, h, u, w, v, o)
     y = y.reshape(n, 2 * h, 2 * wdt, cout)

@@ -46,6 +46,14 @@ from jax import lax
 _DN = lambda xs, ws: lax.conv_dimension_numbers(xs, ws, ("NHWC", "HWIO", "NHWC"))
 
 
+def _pet(dtype):
+    """preferred_element_type: f32 accumulation-output for f32 inputs; None
+    for bf16 (TPU already accumulates bf16 convs in f32 internally, and an
+    explicit f32 output makes the conv transpose rule mix f32 cotangents
+    with bf16 operands, which lax.conv rejects under differentiation)."""
+    return jnp.float32 if dtype == jnp.float32 else None
+
+
 # -- width folding -------------------------------------------------------------
 
 def fold_w(x: jnp.ndarray) -> jnp.ndarray:
@@ -107,9 +115,9 @@ def folded_conv3(xf: jnp.ndarray, wf: jnp.ndarray, b: Optional[jnp.ndarray],
     y = lax.conv_general_dilated(
         xf, wf.astype(xf.dtype), (1, 1), (h_pad, (1, 1)),
         dimension_numbers=_DN(xf.shape, wf.shape),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(xf.dtype))
     if b is not None:
-        y = y + jnp.tile(b, 2).astype(jnp.float32)
+        y = y + jnp.tile(b, 2).astype(y.dtype)
     return y.astype(xf.dtype)
 
 
@@ -118,9 +126,9 @@ def folded_conv1x1(xf: jnp.ndarray, wf: jnp.ndarray,
     y = lax.conv_general_dilated(
         xf, wf.astype(xf.dtype), (1, 1), ((0, 0), (0, 0)),
         dimension_numbers=_DN(xf.shape, wf.shape),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(xf.dtype))
     if b is not None:
-        y = y + jnp.tile(b, 2).astype(jnp.float32)
+        y = y + jnp.tile(b, 2).astype(y.dtype)
     return y.astype(xf.dtype)
 
 
@@ -162,7 +170,7 @@ def up_conv3_composed(t: jnp.ndarray, k_conv: jnp.ndarray) -> jnp.ndarray:
     y = lax.conv_general_dilated(
         t, k_conv.astype(t.dtype), (1, 1), ((3, 3), (3, 3)),
         lhs_dilation=(2, 2), dimension_numbers=_DN(t.shape, k_conv.shape),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(t.dtype))
     return y.astype(t.dtype)
 
 
@@ -174,7 +182,7 @@ def up_bias_map(h2: int, w2: int, b_up: jnp.ndarray, w3a: jnp.ndarray,
     y = lax.conv_general_dilated(
         plane, w3a.astype(dtype), (1, 1), ((2, 2), (2, 2)),
         dimension_numbers=_DN(plane.shape, w3a.shape),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(dtype))
     return y
 
 
@@ -202,5 +210,5 @@ def up_conv3_composed_folded(t: jnp.ndarray, kf: jnp.ndarray) -> jnp.ndarray:
     y = lax.conv_general_dilated(
         t, kf.astype(t.dtype), (1, 1), ((3, 3), (2, 2)),
         lhs_dilation=(2, 1), dimension_numbers=_DN(t.shape, kf.shape),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pet(t.dtype))
     return y.astype(t.dtype)

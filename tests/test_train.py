@@ -196,6 +196,35 @@ def test_train_loop_end_to_end(cropped_ds_104, validation_yaml_104, tmp_path):
 
 
 @pytest.mark.slow  # >20 s on the 1-core host
+def test_train_loop_bfloat16(cropped_ds_104, validation_yaml_104, tmp_path):
+    """--compute_dtype bfloat16 (mixed precision: bf16 fwd/bwd, fp32 master
+    weights/optimizer/loss) trains end-to-end and keeps fp32 checkpoints."""
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.train import loop
+
+    models_dir = str(tmp_path / "models")
+    loop.main([
+        "--train_data", cropped_ds_104,
+        "--models_dpath", models_dir,
+        "--test_reserve", "0",
+        "--g_network", "UtNet", "--g_funit", "2",
+        "--cs", "104", "--loss_cs", "96",
+        "--weight_MSE", "1", "--weight_MSSSIM", "0",
+        "--batch_size", "2", "--epochs", "2", "--start_epoch", "1",
+        "--g_lr", "1e-3", "--beta1", "0.5",
+        "--validation_set_yaml", validation_yaml_104,
+        "--threads", "1", "--compute_dtype", "bfloat16",
+        "--debug_options", "short_run",
+    ])
+    import jax
+
+    exp = os.path.join(models_dir, os.listdir(models_dir)[0])
+    best = params_io.complete_path(exp, keyword="generator")
+    tree = params_io.load(best)
+    leaf = next(iter(jax.tree_util.tree_leaves(tree["params"])))
+    assert leaf.dtype == np.float32  # master weights stay fp32
+
+
 def test_discriminator_learn_step():
     """One cGAN discriminator learn + predict round (Hul112Disc, 112 crops)."""
     import jax
