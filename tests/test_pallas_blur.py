@@ -50,3 +50,14 @@ def test_rl_auto_dispatch():
     np.testing.assert_array_equal(a, b)
     batched = np.asarray(rl_deblur.rl_deblur(img[None], 1.0, 2, impl="auto"))
     np.testing.assert_array_equal(batched[0], b)
+
+
+def test_pallas_rl_fused_wide_taps():
+    """sigma=3 (r=9 > one sublane tile): halo2 rounds to 16, band_h shrinks
+    to keep est_rows <= 128; numerics must hold."""
+    rng = np.random.default_rng(9)
+    img = rng.random((140, 90, 3), dtype=np.float32) + 0.05
+    ref = np.asarray(rl_deblur.rl_deblur(jnp.asarray(img), 3.0, 2, impl="xla"))
+    got = np.asarray(pallas_blur.rl_deblur_pallas_fused(
+        jnp.asarray(img), 3.0, 2, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)

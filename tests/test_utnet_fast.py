@@ -139,3 +139,18 @@ def test_composed_up_conv_folded_exactness():
     zf = F.up_conv3_composed_folded(t, Kf)                  # (2, 2h+2, h+2, 2cout)
     z = np.asarray(F.unfold_w(zf))[:, :, 1:2 * h + 3, :]    # real cols [1, 2h+3)
     assert _rel_err(z, ref) < 1e-5
+
+
+def test_every_valid_size_takes_the_fast_path():
+    """apply_fast falls back to apply for odd H/W — but every size that
+    passes check_cs (UtNet.py:6-7 formula) is even, so the fast path always
+    engages on engine-legal tiles; the fallback is purely defensive."""
+    valid = []
+    for cs in range(100, 600):
+        try:
+            UtNet.check_cs(cs)
+            valid.append(cs)
+        except ValueError:
+            pass
+    assert valid and all(cs % 2 == 0 for cs in valid)
+    assert 504 in valid  # the production tile size
