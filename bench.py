@@ -72,7 +72,7 @@ def bench_tiled(args, cpu_mps, quick=False):
     img = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
 
     params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
-    eng = make_engine("UtNet", params, batch_size=args.batch,
+    eng = make_engine("UtNet", params, batch_size=args.batch or 8,
                       compute_dtype=args.dtype)
     eng.denoise_raw(img, 65535.0, out_dtype="uint16")  # compile + warm
     # best of 3: the tunnel bandwidth fluctuates 2-3x with external load;
@@ -95,14 +95,15 @@ def bench_single_tile(args, cpu_mps):
     data resident; isolates the model kernel from the tunnel wire). Runs the
     fast-forward (ops/fastconv.py) at the compute-optimal tile batch of 64
     (88.1 vs 85.2 MP/s at 32, measured; the engine's streaming default
-    stays smaller — this mode measures the model kernel's ceiling)."""
+    stays smaller — this mode measures the model kernel's ceiling).
+    An explicit --batch overrides the 64 default (ADVICE r2)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from nind_denoise_tpu.models.utnet import UtNet
 
-    batch = max(args.batch, 64)
+    batch = args.batch if args.batch is not None else 64
     params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
     derived = jax.jit(UtNet.precompute_fast)(params)
     fwd = jax.jit(lambda p, x: UtNet.apply_fast(p, x.astype(jnp.bfloat16),
@@ -165,7 +166,7 @@ def bench_pipeline(args, cpu_mps):
         ckpt = os.path.join(td, "generator_1.npz")
         params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=args.funit), ckpt)
         argv = [tif, "--tiff-input", "-o", td, "-e", "jpg",
-                "--model_path", ckpt, "--batch_size", str(args.batch)]
+                "--model_path", ckpt, "--batch_size", str(args.batch or 8)]
         denoise_cli.main(argv)  # warm (compiles); second run is steady-state
         t0 = time.perf_counter()
         denoise_cli.main(argv)
@@ -204,7 +205,7 @@ def bench_nightmode_batch(args, cpu_mps, n_images: int = 4):
             denoise_cli.main([os.path.join(td, f"img{i}.tif"), "--tiff-input",
                               "--nightmode", "-o", outd, "-e", "jpg",
                               "--model_path", ckpt,
-                              "--batch_size", str(args.batch)])
+                              "--batch_size", str(args.batch or 8)])
 
         run_one(0)  # warm: compiles once, engine cache serves the rest
         t0 = time.perf_counter()
@@ -272,7 +273,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="6 MP instead of 24 MP")
     ap.add_argument("--mode", default="all", choices=["all"] + list(MODES))
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="tile batch (default: 8 for engine modes, 64 for "
+                         "single_tile — the measured compute-optimal sizes)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--funit", type=int, default=64)
     args = ap.parse_args()

@@ -71,7 +71,11 @@ class TileEngine:
         self.precision = precision
         self.max_subpixels = max_subpixels
         self.debug_dir = debug_dir  # dump noisy/denoised tiles per row (slow)
-        self.params = jax.device_put(params)
+        # INVARIANT: params are fixed for the engine's lifetime. make_engine
+        # pre-composes derived kernels (fastconv) from these params into
+        # apply_fn's closure; swapping self._params afterwards would leave
+        # those silently stale (ADVICE r2). Build a new engine per checkpoint.
+        self._params = jax.device_put(params)
         self._step = jax.jit(self._make_step(), donate_argnums=(1,),
                              static_argnames=())
         self._finish = jax.jit(self._finish_fn,
@@ -86,6 +90,12 @@ class TileEngine:
             lambda prev, new, stride: jnp.concatenate(
                 [prev[stride:], new], axis=0),
             static_argnames=("stride",), donate_argnums=(0,))
+
+
+    @property
+    def params(self):
+        """Read-only: see the immutability invariant in __init__."""
+        return self._params
 
     # -- compiled programs ----------------------------------------------------
 
@@ -294,7 +304,7 @@ class TileEngine:
                                 s.abs_y0 != 0,
                                 s.abs_x0 + self.ucs < w and self.ol > 0,
                                 s.abs_y0 + self.ucs < h and self.ol > 0)
-                canvas = self._step(self.params, canvas, band_dev, inv_scale,
+                canvas = self._step(self._params, canvas, band_dev, inv_scale,
                                     jnp.asarray(gcoords), jnp.asarray(scoords),
                                     jnp.asarray(specs))
             if self.debug_dir:
@@ -326,7 +336,7 @@ class TileEngine:
         for xi in range(plan.iperhl + 1):
             s = plan.spec(r * (plan.iperhl + 1) + xi)
             tile = band[:, s.abs_x0:s.abs_x0 + self.cs]
-            out = np.asarray(self._dbg_fwd(self.params, jnp.asarray(tile)[None]))[0]
+            out = np.asarray(self._dbg_fwd(self._params, jnp.asarray(tile)[None]))[0]
             for tag, arr in (("noisy", tile), ("denoised", out.astype(np.float32))):
                 u8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
                 cv2.imwrite(os.path.join(self.debug_dir,
@@ -351,26 +361,25 @@ class TileEngine:
             self._whole_jit = jax.jit(self.apply_fn)  # memoized across calls
         padded = tiles_mod.whole_image_pad(img_chw, pad) if pad else img_chw.astype(np.float32)
         x = jnp.asarray(padded.transpose(1, 2, 0))[None].astype(self.compute_dtype)
-        y = self._whole_jit(self.params, x)
+        y = self._whole_jit(self._params, x)
         y = np.asarray(y[0]).astype(np.float32).transpose(2, 0, 1)
         if pad:
             y = y[:, pad:-pad, pad:-pad]
         return y
 
 
-def make_engine(network: str, params, cs: Optional[int] = None,
-                ucs: Optional[int] = None, activation: str = "PReLU",
-                **kwargs) -> TileEngine:
-    """Convenience constructor resolving per-arch tile defaults
-    (autodetect_network_cs_ucs parity, denoise_image.py:59-79)."""
+def resolve_apply_fn(network: str, params, activation: str = "PReLU"):
+    """(apply_fn, params) for an inference engine — shared by the
+    single-chip TileEngine, the row-band ShardedTileDenoiser, and the
+    image-per-device DeviceBatchDenoiser so all product surfaces run the
+    same forward.
+
+    NOTE the same params-immutability invariant as TileEngine: for UtNet the
+    derived fast-forward kernels are pre-composed from ``params`` here and
+    close over the returned apply_fn as constants."""
     from ..models import get_network
 
     net = get_network(network)
-    if cs is None or ucs is None:
-        cs, ucs = default_cs_ucs(network)
-    if hasattr(net, "check_cs"):
-        net.check_cs(cs)
-
     if network == "UtNet":
         # MXU-shaped exact rewrite (composed up-convs + width-folded L1,
         # ops/fastconv.py): +~50% single-chip throughput, parity-tested in
@@ -386,5 +395,21 @@ def make_engine(network: str, params, cs: Optional[int] = None,
             raise ValueError("UNet engine requires (params, state) with BN stats")
         apply_fn = lambda p, x: net.apply(p, x, state, train=False)[0]
     else:
-        raise ValueError(f"make_engine: unsupported generator {network}")
+        raise ValueError(f"resolve_apply_fn: unsupported generator {network}")
+    return apply_fn, params
+
+
+def make_engine(network: str, params, cs: Optional[int] = None,
+                ucs: Optional[int] = None, activation: str = "PReLU",
+                **kwargs) -> TileEngine:
+    """Convenience constructor resolving per-arch tile defaults
+    (autodetect_network_cs_ucs parity, denoise_image.py:59-79)."""
+    from ..models import get_network
+
+    net = get_network(network)
+    if cs is None or ucs is None:
+        cs, ucs = default_cs_ucs(network)
+    if hasattr(net, "check_cs"):
+        net.check_cs(cs)
+    apply_fn, params = resolve_apply_fn(network, params, activation)
     return TileEngine(apply_fn, params, cs, ucs, **kwargs)

@@ -53,11 +53,62 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _radius(sigma: float) -> int:
+    return max(1, int(math.ceil(3.0 * sigma)))
+
+
 def _taps(sigma: float) -> Tuple[float, ...]:
-    r = max(1, int(math.ceil(3.0 * sigma)))
+    r = _radius(sigma)
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
     return tuple(float(t) for t in (k / k.sum()).astype(np.float32))
+
+
+# The fused kernel's VMEM use (double-buffered u/d/out scratch + Mosaic's
+# own temporaries) scales with image WIDTH; the fixed round-2 band_h=120
+# blew the 16 MB scoped-VMEM limit around w ~ 5000 px (full-res photos).
+# Model calibrated on the v5e chip: at w=6000 / band_h=72 the compiler
+# reported 16.04 MB total against 11.55 MB of scratch, i.e. temporaries
+# ~ 2.13 x one (band_h + 2r, w_in) fp32 band buffer; budgeted at 2.5x with
+# the total capped at 15 MB of the 16 MB limit. (The w=3000 bench shape
+# keeps its round-2 band_h=120 under this model — no perf change there.)
+_VMEM_LIMIT = 15 * 1024 * 1024
+_TEMP_FACTOR = 2.5
+
+
+def _fused_scratch_bytes(bh: int, r: int, w: int) -> int:
+    halo2 = _round_up(2 * r, 8)
+    w_out = _round_up(w, 128)
+    w_in = w_out + 128
+    return 2 * ((bh + 2 * halo2) * w_in * 2 + bh * w_out) * 4
+
+
+def _fused_vmem_estimate(bh: int, r: int, w: int) -> int:
+    w_in = _round_up(w, 128) + 128
+    temps = int(_TEMP_FACTOR * (bh + 2 * r) * w_in * 4)
+    return _fused_scratch_bytes(bh, r, w) + temps
+
+
+def _fused_band_h(w: int, r: int) -> int:
+    """Largest band_h (multiple of 8, est_rows <= 128) whose fused-RL VMEM
+    estimate fits ``_VMEM_LIMIT`` at image width ``w``. Returns 0 when even
+    band_h=8 does not fit (caller must fall back to the XLA path)."""
+    best = 0
+    bh = 8
+    while bh + 2 * r <= 128:
+        if _fused_vmem_estimate(bh, r, w) > _VMEM_LIMIT:
+            break
+        best = bh
+        bh += 8
+    return best
+
+
+def fused_fits(w: int, sigma: float = 1.0) -> bool:
+    """Whether ``rl_deblur_pallas_fused`` can compile for width ``w`` within
+    the VMEM budget. ``rl_deblur(impl='auto')`` gates on this so very wide
+    images (> ~20k px at sigma=1) silently take the XLA path instead of
+    failing to compile."""
+    return _fused_band_h(w, _radius(sigma)) > 0
 
 
 def _blur_band(scratch, taps: Tuple[float, ...], band_h: int, halo: int,
@@ -110,9 +161,13 @@ def _gauss_blur_planar(img_chw: jnp.ndarray, sigma: float = 1.0,
     taps = _taps(sigma)
     r = (len(taps) - 1) // 2
     halo = _round_up(r, 8)               # row halo on the sublane tiling
-    hb = _round_up(h, band_h)
     w_out = _round_up(w, 128)
     w_in = w_out + 128                   # room for the 2r horizontal slack
+    # shrink the band if the width-proportional scratch would blow VMEM
+    while band_h > 8 and ((band_h + 2 * halo) * w_in + band_h * w_out
+                          + 3 * band_h * w_in) * 4 > _VMEM_LIMIT:
+        band_h = max(8, band_h // 2 // 8 * 8)
+    hb = _round_up(h, band_h)
 
     x = jnp.pad(img_chw.astype(jnp.float32),
                 ((0, 0), (halo, halo + hb - h), (r, r)), mode="edge")
@@ -123,7 +178,7 @@ def _gauss_blur_planar(img_chw: jnp.ndarray, sigma: float = 1.0,
                           w_out=w_out),
         out_shape=jax.ShapeDtypeStruct((c, hb, w_out), jnp.float32),
         grid=(c, hb // band_h),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, band_h, w_out), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -249,7 +304,13 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
     interpret = interpret or jax.default_backend() != "tpu"
     taps = _taps(sigma)
     r = (len(taps) - 1) // 2
-    band_h = max(8, (128 - 2 * r) // 8 * 8)   # est_rows <= 128: aligned lanes
+    # band_h adapts to width so the scratch + temporaries stay inside the
+    # VMEM budget (ADVICE r2: a fixed band blew VMEM at w ~ 5-6k px)
+    band_h = _fused_band_h(ww, r)
+    if band_h == 0:
+        raise ValueError(
+            f"rl_deblur_pallas_fused: width {ww} exceeds the VMEM budget even "
+            f"at the minimum band height; use rl_deblur(impl='xla')")
     halo2 = _round_up(2 * r, 8)
     hb = _round_up(hh, band_h)
     w_out = _round_up(ww, 128)
@@ -271,9 +332,9 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
                           n_bands=n_bands),
         out_shape=jax.ShapeDtypeStruct((c, hb, w_out), jnp.float32),
         grid=(c,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
             pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),

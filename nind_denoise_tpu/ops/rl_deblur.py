@@ -106,8 +106,13 @@ def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
     'auto' (default) = pallas on a TPU backend when applicable (HWC, dt=1),
     xla otherwise (CPU runs the lax path rather than interpret mode)."""
     if impl == "auto":
+        from . import pallas_blur as _pb
+
+        # the fused kernel's VMEM scratch scales with image width; above the
+        # budget (~20k px at sigma=1) it would fail to compile — fall back
         impl = ("pallas" if dt == 1.0 and img.ndim == 3
-                and jax.default_backend() == "tpu" else "xla")
+                and jax.default_backend() == "tpu"
+                and _pb.fused_fits(img.shape[1], sigma) else "xla")
     if impl == "pallas":
         if dt != 1.0 or img.ndim != 3:
             raise NotImplementedError("pallas RL impl supports HWC, dt=1 only")

@@ -29,23 +29,33 @@ _DIST_INITIALIZED = False
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> bool:
+                     process_id: Optional[int] = None,
+                     local_device_ids: Optional[Sequence[int]] = None) -> bool:
     """Join a multi-host pod via ``jax.distributed.initialize``.
 
     No-op (returns False) on a single host: it only activates when a
     coordinator address is passed or present as ``JAX_COORDINATOR_ADDRESS``
     (on Cloud TPU pods, ``jax.distributed.initialize()``'s own metadata
     auto-detection fills the rest). Idempotent; ``make_mesh`` calls it
-    lazily so pod workers need no extra ceremony."""
+    lazily, but multi-host CLIs must call it EAGERLY before the first
+    backend touch (any ``jax.devices()``/``jit`` call initializes the
+    backend, after which ``jax.distributed.initialize`` raises — ADVICE
+    r2). Exercised for real by tests/test_multihost.py (2-process CPU
+    pod: coordinator + worker, global mesh, one psum)."""
     global _DIST_INITIALIZED
     if _DIST_INITIALIZED:
         return True
     coord = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord is None and num_processes is None:
         return False
+    if coord is None:
+        raise ValueError(
+            "init_distributed: num_processes given without a coordinator "
+            "address (pass coordinator= or set JAX_COORDINATOR_ADDRESS)")
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               local_device_ids=local_device_ids)
     _DIST_INITIALIZED = True
     return True
 

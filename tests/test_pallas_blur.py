@@ -52,6 +52,46 @@ def test_rl_auto_dispatch():
     np.testing.assert_array_equal(batched[0], b)
 
 
+def test_fused_band_h_budget():
+    """VMEM sizing (ADVICE r2-high): band_h must shrink as width grows so the
+    double-buffered scratch + live temps stay inside the budget, and
+    fused_fits must go False (-> auto falls back to XLA) for extreme widths
+    instead of the kernel failing to compile on-chip."""
+    r = pallas_blur._radius(1.0)
+    bh_3k = pallas_blur._fused_band_h(3000, r)
+    bh_6k = pallas_blur._fused_band_h(6000, r)
+    bh_12k = pallas_blur._fused_band_h(12000, r)
+    assert bh_3k >= bh_6k >= bh_12k > 0
+    # the w=3000 bench shape must keep its round-2 band (no perf change)
+    assert bh_3k == 120
+    # on-chip calibration point: w=6000 / band_h=72 measured 16.04 MB total
+    # scoped VMEM (> the 16 MB limit); the model must reject it
+    assert pallas_blur._fused_vmem_estimate(72, r, 6000) > pallas_blur._VMEM_LIMIT
+    assert bh_6k < 72
+    for bh, w in ((bh_3k, 3000), (bh_6k, 6000), (bh_12k, 12000)):
+        assert pallas_blur._fused_vmem_estimate(bh, r, w) <= pallas_blur._VMEM_LIMIT
+    assert not pallas_blur.fused_fits(60000)
+    # auto dispatch survives an over-budget width (would have been a Mosaic
+    # compile error before the gate)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((8, 60000, 3), dtype=np.float32))
+    out = rl_deblur.rl_deblur(img, 1.0, 1, impl="auto")
+    assert out.shape == img.shape
+
+
+@pytest.mark.slow
+def test_pallas_rl_fused_wide_image():
+    """6000 px wide (a typical full-res photo, the width class that blew the
+    old fixed-band VMEM scratch): the adaptive band_h must stay in budget
+    AND keep parity with the lax path."""
+    rng = np.random.default_rng(6)
+    img = rng.random((24, 6000, 3), dtype=np.float32) + 0.05
+    ref = np.asarray(rl_deblur.rl_deblur(jnp.asarray(img), 1.0, 2, impl="xla"))
+    got = np.asarray(pallas_blur.rl_deblur_pallas_fused(
+        jnp.asarray(img), 1.0, 2, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_pallas_rl_fused_wide_taps():
     """sigma=3 (r=9 > one sublane tile): halo2 rounds to 16, band_h shrinks
     to keep est_rows <= 128; numerics must hold."""
