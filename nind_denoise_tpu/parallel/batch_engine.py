@@ -1,0 +1,142 @@
+"""Image-per-device batch inference: the directory/nightmode scale-out.
+
+SURVEY.md §2.9 calls the ``--nightmode`` directory batch "embarrassingly
+parallel across images"; this engine is that statement made executable. A
+batch of same-shaped images shards one-image-per-device over a 1-D mesh
+(``shard_map``); every device runs the identical tile loop over ITS image
+(same grid, so coords/specs are closed-over constants — pure SPMD, zero
+collectives), accumulates its own canvas, and the host gets back the
+batch with the image axis still sharded.
+
+Compared with row-band tile parallelism (sharded_engine.py) this moves no
+overlap rows at all and needs no host-side band merge; it is the better
+scale-out whenever the workload has >= ndev images of one shape (the
+directory case). The denoise output stays device-resident and sharded, so
+downstream batched post-ops (RL-deblur, quantize) run data-parallel on the
+same mesh without any resharding.
+
+The reference processes directories strictly serially
+(/root/reference/src/denoise.py:491-500); it has no multi-device analog.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+try:
+    from jax import shard_map  # jax >= 0.7 location
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.tiles import TilePlan
+from ..engine import device_stitch
+
+
+class DeviceBatchDenoiser:
+    """Denoise a batch of same-shaped images, one image per mesh device.
+
+    ``apply_fn(params, tiles_nhwc) -> tiles_nhwc`` as in engine.TileEngine.
+    ``tiles_per_dispatch`` is the model batch dimension inside each device's
+    compiled tile loop.
+    """
+
+    def __init__(self, apply_fn: Callable, params, cs: int, ucs: int,
+                 ol: int = 6, tiles_per_dispatch: int = 4,
+                 compute_dtype: str = "float32", mesh: Optional[Mesh] = None,
+                 axis: str = "data"):
+        from . import mesh as pmesh
+
+        self.apply_fn = apply_fn
+        self.cs, self.ucs, self.ol = cs, ucs, ol
+        self.pad = (cs - ucs) // 2
+        self.tpd = tiles_per_dispatch
+        self.cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        self.axis = axis
+        self.ndev = self.mesh.devices.size
+        self.params = pmesh.replicate_tree(self.mesh, params)
+        self._step_cache = {}
+
+    def _step(self, h: int, w: int, channels: int):
+        key = (h, w, channels)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        plan = TilePlan(h, w, self.cs, self.ucs, self.ol)
+        ntiles = math.ceil(plan.ntiles / self.tpd) * self.tpd
+        coords_np = np.zeros((ntiles, 2), np.int32)
+        specs_np = np.zeros((ntiles, 6), np.int32)
+        cds, sps = plan.tile_specs_arrays(range(plan.ntiles))
+        coords_np[:plan.ntiles] = cds
+        specs_np[:plan.ntiles] = sps
+        # gather coords are in the padded-image frame: tile (y, x) origin
+        # equals its canvas origin there (pad_top == pad == receptive pad)
+        coords_c = jnp.asarray(coords_np)
+        specs_c = jnp.asarray(specs_np)
+        nrounds = ntiles // self.tpd
+        tpd, cs, ucs, pad, ol, axis = (self.tpd, self.cs, self.ucs, self.pad,
+                                       self.ol, self.axis)
+
+        def local_step(params, padded, inv_scale):
+            """One device: the full tile loop over its own image."""
+            padded = padded[0]  # (Hp, Wp, C) storage dtype
+            canvas = jnp.zeros((plan.grid_h, plan.grid_w, channels),
+                               jnp.float32)
+            if hasattr(lax, "pcast"):  # fresh canvas is device-invariant
+                canvas = lax.pcast(canvas, (axis,), to="varying")
+
+            def round_body(rr, cv):
+                c = lax.dynamic_slice(coords_c, (rr * tpd, 0), (tpd, 2))
+                s = lax.dynamic_slice(specs_c, (rr * tpd, 0), (tpd, 6))
+                norm = lambda p, t: self.apply_fn(
+                    p, t * inv_scale.astype(self.cdt))
+                slabs = device_stitch.forward_round(
+                    norm, params, padded, c, s, cs=cs, ucs=ucs, pad=pad,
+                    ol=ol, compute_dtype=self.cdt)
+                return device_stitch.scatter_add_slabs(cv, slabs, c, ucs)
+
+            canvas = lax.fori_loop(0, nrounds, round_body, canvas)
+            return canvas[None, :h, :w]
+
+        fn = shard_map(local_step, mesh=self.mesh,
+                       in_specs=(P(), P(self.axis), P()),
+                       out_specs=P(self.axis))
+        jitted = jax.jit(fn)
+        self._step_cache[key] = jitted
+        return jitted
+
+    def denoise_batch(self, imgs: np.ndarray, scale: float = 1.0):
+        """(B, H, W, C) storage-dtype images -> (B, H, W, C) fp32 device
+        array with the image axis sharded over the mesh. ``scale`` divides
+        to [0, 1] on device (255 / 65535 / 1.0). B must be <= ndev; short
+        batches pad with dummy images (cropped off in the result).
+        """
+        b, h, w, c = imgs.shape
+        if b > self.ndev:
+            raise ValueError(f"batch {b} exceeds mesh size {self.ndev}; "
+                             f"chunk the batch (see denoise_many)")
+        plan = TilePlan(h, w, self.cs, self.ucs, self.ol)
+        padded = np.stack([plan.pad_image(imgs[i]) for i in range(b)])
+        if b < self.ndev:  # pad the batch so the image axis divides the mesh
+            padded = np.concatenate(
+                [padded, np.repeat(padded[-1:], self.ndev - b, axis=0)])
+        sh = NamedSharding(self.mesh, P(self.axis))
+        padded_dev = jax.device_put(padded, sh)
+        step = self._step(h, w, c)
+        out = step(self.params, padded_dev,
+                   jnp.asarray(1.0 / scale, self.cdt))
+        return out[:b]
+
+    def denoise_many(self, imgs: np.ndarray, scale: float = 1.0) -> np.ndarray:
+        """Arbitrary-length same-shape batch: chunks of ndev images through
+        ``denoise_batch``, fetched to host fp32."""
+        outs = []
+        for i0 in range(0, imgs.shape[0], self.ndev):
+            outs.append(np.asarray(
+                self.denoise_batch(imgs[i0:i0 + self.ndev], scale)))
+        return np.concatenate(outs)

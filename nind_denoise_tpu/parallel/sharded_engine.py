@@ -52,6 +52,7 @@ except ImportError:  # pragma: no cover
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.tiles import TilePlan
+from ..engine import device_stitch
 
 
 class ShardedTileDenoiser:
@@ -104,36 +105,13 @@ class ShardedTileDenoiser:
             if hasattr(lax, "pcast"):
                 canvas = lax.pcast(canvas, (axis,), to="varying")
 
-            def gather_one(yx):
-                return lax.dynamic_slice(band_in, (yx[0], yx[1], 0),
-                                         (cs, cs, channels))
-
-            def mask_one(spec):
-                h, w, left, top, right, bottom = (spec[i] for i in range(6))
-                r = lax.broadcasted_iota(jnp.int32, (ucs, ucs), 0)
-                c = lax.broadcasted_iota(jnp.int32, (ucs, ucs), 1)
-                m = ((r < h) & (c < w)).astype(jnp.float32)
-                half, one = jnp.float32(0.5), jnp.float32(1.0)
-                m = m * jnp.where((left == 1) & (c < ol), half, one)
-                m = m * jnp.where((top == 1) & (r < ol), half, one)
-                m = m * jnp.where((right == 1) & (c >= w - ol) & (c < w), half, one)
-                m = m * jnp.where((bottom == 1) & (r >= h - ol) & (r < h), half, one)
-                return m[..., None]
-
             def round_body(rr, cv):
                 c = lax.dynamic_slice(coords, (rr * tpd, 0), (tpd, 2))
                 s = lax.dynamic_slice(specs, (rr * tpd, 0), (tpd, 6))
-                tiles = jax.vmap(gather_one)(c)
-                y = self.apply_fn(params, tiles.astype(self.cdt))
-                masks = jax.vmap(mask_one)(s)
-                slab = y[:, pad:pad + ucs, pad:pad + ucs, :].astype(jnp.float32) * masks
-
-                def body(i, cv):
-                    y0, x0 = c[i, 0], c[i, 1]
-                    cur = lax.dynamic_slice(cv, (y0, x0, 0), (ucs, ucs, channels))
-                    return lax.dynamic_update_slice(cv, cur + slab[i], (y0, x0, 0))
-
-                return lax.fori_loop(0, tpd, body, cv)
+                slabs = device_stitch.forward_round(
+                    self.apply_fn, params, band_in, c, s, cs=cs, ucs=ucs,
+                    pad=pad, ol=ol, compute_dtype=self.cdt)
+                return device_stitch.scatter_add_slabs(cv, slabs, c, ucs)
 
             canvas = lax.fori_loop(0, nrounds, round_body, canvas)
             return canvas[None]

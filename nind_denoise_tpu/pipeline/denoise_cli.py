@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--cs", type=int, help="Override tile size")
     p.add_argument("--ucs", type=int, help="Override useful tile size")
+    p.add_argument("--devices", type=int,
+                   help="Directory mode: dispatch images one-per-device over "
+                        "this many devices (parallel/batch_engine). Default: "
+                        "all visible devices when >1; 1 forces serial")
     return p
 
 
@@ -159,7 +163,9 @@ _DECODE_POOL = None
 
 def _prefetch_decode(fpath: pathlib.Path) -> None:
     """Directory mode: decode the NEXT image on a thread while the current
-    one streams through the chip (cv2.imread releases the GIL)."""
+    one streams through the chip (cv2.imread releases the GIL). The pool is
+    scoped to the directory loop (``_shutdown_decode_pool``) so a mid-batch
+    failure cannot leak decoded images or delay interpreter exit."""
     global _DECODE_POOL
     import concurrent.futures as cf
 
@@ -168,6 +174,14 @@ def _prefetch_decode(fpath: pathlib.Path) -> None:
     key = str(fpath)
     if key not in _DECODE_AHEAD:
         _DECODE_AHEAD[key] = _DECODE_POOL.submit(imgio.load_img_raw, key)
+
+
+def _shutdown_decode_pool() -> None:
+    global _DECODE_POOL
+    _DECODE_AHEAD.clear()
+    if _DECODE_POOL is not None:
+        _DECODE_POOL.shutdown(wait=False, cancel_futures=True)
+        _DECODE_POOL = None
 
 
 def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
@@ -240,12 +254,27 @@ def _rl_deblur_ondevice(in_fpath: pathlib.Path, out_fpath: pathlib.Path,
         print(f"Applied on-device RL-deblur to: {out_fpath}")
 
 
-def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
-    print(input_path)
+def _initial_outpath(args, input_path: pathlib.Path) -> pathlib.Path:
     output_dir = pathlib.Path(args.output_path) if args.output_path else input_path.parent
     ext = "." + args.extension if args.extension[0] != "." else args.extension
-    outpath = output_dir if output_dir.suffix != "" \
+    return output_dir if output_dir.suffix != "" \
         else (output_dir / input_path.name).with_suffix(ext)
+
+
+def _collision_resolve(outpath: pathlib.Path) -> pathlib.Path:
+    """_1.._99 collision counter (denoise.py:383-389)."""
+    i = 1
+    while outpath.exists():
+        outpath = outpath.with_stem(outpath.stem + "_" + str(i))
+        i += 1
+        if i >= 99:
+            raise FileExistsError(f"too many files with the same name near {outpath}")
+    return outpath
+
+
+def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
+    print(input_path)
+    outpath = _initial_outpath(args, input_path)
 
     # darktable duplicate naming (--copy_num, denoise.py:342-350)
     if args.copy_num:
@@ -280,12 +309,7 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
         print("The input raw-image or its XMP were not found, or are not valid.")
         raise FileNotFoundError(input_path)
 
-    i = 1
-    while outpath.exists():
-        outpath = outpath.with_stem(outpath.stem + "_" + str(i))
-        i += 1
-        if i >= 99:
-            raise FileExistsError(f"too many files with the same name near {outpath}")
+    outpath = _collision_resolve(outpath)
 
     # stage paths derive from the collision-resolved output name (the
     # reference computed them before the collision loop, which in
@@ -374,6 +398,93 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
     return outpath
 
 
+def _batchable(args, f: pathlib.Path, cmd_darktable, cmd_gmic) -> bool:
+    """Whether ``f`` qualifies for the in-memory multi-device batch path —
+    the same conditions as denoise_file's fast path: no darktable stage 2
+    (missing binary or no XMP sidecar), on-device RL, no --debug dumps."""
+    if not args.tiff_input or args.debug or (args.use_gmic and cmd_gmic):
+        return False
+    have_xmp = f.with_suffix(f.suffix + ".xmp").is_file()
+    return not (cmd_darktable is not None and have_xmp)
+
+
+def denoise_dir_batch(args, files, ndev: int) -> list:
+    """Directory mode over a device mesh: images dispatch one-per-device
+    (parallel/batch_engine.DeviceBatchDenoiser — the 'embarrassingly
+    parallel across images' scale-out SURVEY.md §2.9 names for the
+    --nightmode batch; the reference loops serially, denoise.py:491-500).
+
+    Same-shaped images group into mesh-sized chunks: one SPMD dispatch
+    denoises ndev images; RL-deblur then runs BATCHED on the still-sharded
+    output (data-parallel, zero resharding), and each image fetches once,
+    already quantized. Returns the list of written output paths.
+    """
+    import jax.numpy as jnp
+
+    from ..core.tiles import default_cs_ucs
+    from ..engine.tile_engine import resolve_apply_fn
+    from ..ops import rl_deblur
+    from ..parallel import mesh as pmesh
+    from ..parallel.batch_engine import DeviceBatchDenoiser
+
+    config = xmp.read_config(nightmode=args.nightmode, verbose=args.verbose)
+    mcfg = resolve_model(args, config)
+    network = mcfg.get("network", "UtNet")
+    cs, ucs = args.cs, args.ucs
+    if cs is None or ucs is None:
+        cs, ucs = default_cs_ucs(network)
+    params, state = params_io.load_generator(mcfg["path"], network)
+    if network == "UNet":
+        params = (params, state)
+    apply_fn, params = resolve_apply_fn(network, params,
+                                        mcfg.get("activation", "PReLU"))
+    batcher = DeviceBatchDenoiser(
+        apply_fn, params, cs=cs, ucs=ucs,
+        tiles_per_dispatch=max(1, args.batch_size // ndev),
+        compute_dtype="bfloat16",  # the serial fast path's engine default
+        mesh=pmesh.make_mesh(ndev))
+
+    sigma = int(args.sigma or 1)
+    iterations = int(args.iterations or 10)
+    quality = args.quality or "90"
+    rldeblur = not args.no_deblur
+
+    # decode + group by (shape, dtype): one compiled step per group shape
+    groups: dict = {}
+    for f in files:
+        raw, scale = imgio.load_img_raw(str(f))
+        groups.setdefault((raw.shape, str(raw.dtype), scale),
+                          []).append((f, raw))
+
+    written = []
+    for (_, _, scale), members in groups.items():
+        for i0 in range(0, len(members), batcher.ndev):
+            chunk = members[i0:i0 + batcher.ndev]
+            den = batcher.denoise_batch(
+                np.stack([r for _, r in chunk]), scale)  # (B,H,W,C) sharded
+            if rldeblur:
+                # batched NHWC RL (auto resolves to the xla path for 4-D),
+                # gmic post-op semantics, uint8 quantize — all on device
+                u = rl_deblur.rl_deblur(den, float(sigma), iterations,
+                                        impl="auto")
+                u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
+                               ).astype(jnp.uint8)
+                host = np.asarray(u8)
+            for j, (f, _) in enumerate(chunk):
+                print(f"\n----------------- {f.name} (device {j}) -----------------\n")
+                outpath = _collision_resolve(_initial_outpath(args, f))
+                if rldeblur:
+                    _encode_u8(host[j], outpath, quality)
+                elif outpath.suffix.lower() == ".tiff":
+                    imgio.save_img(np.asarray(den[j]).transpose(2, 0, 1),
+                                   str(outpath))
+                else:
+                    _write_encoded(den[j], outpath, quality)
+                exif_mod.clone_exif(f, outpath, verbose=args.verbose)
+                written.append(outpath)
+    return written
+
+
 def main(argv=None):
     from ..utils import jaxcache
     jaxcache.enable()
@@ -386,11 +497,29 @@ def main(argv=None):
         exts = [".tif", ".tiff"] if args.tiff_input else VALID_EXTENSIONS
         files = [f for f in sorted(input_path.iterdir())
                  if f.suffix.lower() in exts]
-        for i, f in enumerate(files):
-            if args.tiff_input and i + 1 < len(files):
-                _prefetch_decode(files[i + 1])  # overlap decode with compute
-            print(f"\n----------------------- {f.name} -------------------------\n")
-            denoise_file(args, f)
+        # multi-device hosts: dispatch qualifying images one-per-device
+        # (the rest fall through to the serial loop below)
+        ndev = args.devices
+        if ndev is None:
+            import jax
+
+            ndev = jax.device_count()
+        if ndev > 1 and files:
+            cmd_darktable = external.find_darktable(args.dt)
+            cmd_gmic = external.find_gmic(args.gmic) if args.use_gmic else None
+            batch = [f for f in files
+                     if _batchable(args, f, cmd_darktable, cmd_gmic)]
+            if batch:
+                denoise_dir_batch(args, batch, ndev)
+            files = [f for f in files if f not in batch]
+        try:
+            for i, f in enumerate(files):
+                if args.tiff_input and i + 1 < len(files):
+                    _prefetch_decode(files[i + 1])  # overlap decode with compute
+                print(f"\n----------------------- {f.name} -------------------------\n")
+                denoise_file(args, f)
+        finally:
+            _shutdown_decode_pool()
     else:
         denoise_file(args, input_path)
 

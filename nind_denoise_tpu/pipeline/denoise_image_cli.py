@@ -89,6 +89,13 @@ def build_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--precision", default="default", choices=["default", "float32"])
     p.add_argument("--trace_dir", help="capture a jax.profiler trace here")
+    p.add_argument("-q", "--quality", type=int, default=95,
+                   help="JPEG quality for .jpg outputs (pipeline-CLI parity)")
+    p.add_argument("--devices", type=int,
+                   help="Shard tiles over this many devices "
+                        "(parallel/sharded_engine row bands). Default: all "
+                        "visible devices when >1 (multi-chip hosts engage "
+                        "automatically); 1 forces the single-device engine")
     return p
 
 
@@ -106,6 +113,64 @@ def load_generator_params(args):
     return params, state, activation
 
 
+def _resolve_devices(args) -> int:
+    """--devices, defaulting to every visible device (multi-chip hosts
+    engage the sharded engine automatically; single-chip unchanged)."""
+    if getattr(args, "devices", None):
+        return args.devices
+    import jax
+
+    return jax.device_count()
+
+
+def _run_sharded(args, ndev: int) -> None:
+    """Multi-device path: row-band tile parallelism over a mesh
+    (parallel/sharded_engine.py; zero collectives). The image loads fp32 on
+    host and the canvas comes back fp32 — the wire-minimal streaming of the
+    single-device engine matters on the tunnel dev environment, while this
+    path targets co-located multi-chip hosts (PCIe, compute-bound)."""
+    import jax
+
+    from ..engine.tile_engine import resolve_apply_fn
+    from ..parallel import mesh as pmesh
+    from ..parallel.sharded_engine import ShardedTileDenoiser
+
+    params, state, activation = load_generator_params(args)
+    if args.g_network == "UNet":
+        params = (params, state)
+    apply_fn, params = resolve_apply_fn(args.g_network, params, activation)
+    if args.precision == "float32":
+        base_fn = apply_fn
+
+        def apply_fn(p, x):
+            with jax.default_matmul_precision("highest"):
+                return base_fn(p, x)
+
+    sharded = ShardedTileDenoiser(
+        apply_fn, params, cs=args.cs, ucs=args.ucs, ol=args.overlap,
+        tiles_per_device=max(1, args.batch_size // ndev),
+        compute_dtype=args.compute_dtype, mesh=pmesh.make_mesh(ndev))
+    img = imgio.load_img(args.input)  # (3, H, W) fp32 [0,1]
+    out = sharded.denoise_hwc(np.ascontiguousarray(img.transpose(1, 2, 0)))
+    _save_float_hwc(out, args.output, quality=args.quality)
+    print(f"Denoised image written to {args.output} "
+          f"({ndev}-device row-band sharding)")
+
+
+def _save_float_hwc(out_hwc: np.ndarray, path: str, quality: int = 95) -> None:
+    """fp32 HWC canvas -> file, reference bit-depth conventions
+    (tif/png 16-bit, jpg 8-bit, tiff fp32 unclipped — pt_helpers.py:22-40)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".png", ".tif"):
+        u16 = np.round(np.clip(out_hwc, 0, 1) * 65535).astype(np.uint16)
+        imgio_save_uint16(u16, path)
+    elif ext in (".jpg", ".jpeg"):
+        u8 = np.round(np.clip(out_hwc, 0, 1) * 255).astype(np.uint8)
+        imgio_save_uint8(u8, path, quality=quality)
+    else:
+        imgio.save_img(out_hwc.astype(np.float32).transpose(2, 0, 1), path)
+
+
 def run(args) -> str:
     from ..engine.tile_engine import make_engine  # lazy: imports jax
 
@@ -113,6 +178,15 @@ def run(args) -> str:
     autodetect_network_cs_ucs(args)
     if args.output is None:
         args.output = make_output_fpath(args.input, args.model_path)
+
+    ndev = _resolve_devices(args)
+    if ndev > 1 and not args.whole_image:
+        start_time = time.time()
+        _run_sharded(args, ndev)
+        if args.exif_method != "noexif":
+            exif_mod.clone_exif(args.input, args.output)
+        print("Elapsed time: " + str(time.time() - start_time) + " seconds")
+        return args.output
 
     params, state, activation = load_generator_params(args)
     if args.g_network == "UNet":
@@ -143,7 +217,7 @@ def run(args) -> str:
             imgio_save_uint16(out, args.output)
         elif ext in (".jpg", ".jpeg"):
             out = engine.denoise_raw(raw, scale, out_dtype="uint8")
-            imgio_save_uint8(out, args.output)
+            imgio_save_uint8(out, args.output, quality=args.quality)
         else:  # .tiff fp32, unclipped
             out = engine.denoise_raw(raw, scale,
                                      out_dtype="float32"

@@ -1,0 +1,153 @@
+"""Multi-device execution through the PRODUCT CLIs (VERDICT r2 item 1).
+
+These drive the real CLI entry points — not the parallel/ classes — over the
+virtual 8-device CPU mesh (tests/conftest.py), asserting the multi-device
+paths produce the single-device outputs:
+
+* ``denoise_image_cli --devices 8``: row-band tile sharding
+  (parallel/sharded_engine) behind the single-image CLI.
+* ``denoise_cli <dir> --devices 8``: image-per-device directory batch
+  (parallel/batch_engine) behind the pipeline CLI — the reference's serial
+  dir loop (/root/reference/src/denoise.py:491-500) parallelized.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from nind_denoise_tpu.core import imgio
+from nind_denoise_tpu.models import params_io
+from nind_denoise_tpu.models.utnet import UtNet
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    p = str(d / "generator_1.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=8), p)
+    return p
+
+
+def _write_png16(path, rng, h=150, w=200):
+    import cv2
+
+    img = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    cv2.imwrite(str(path), img[..., ::-1])
+    return img
+
+
+def _write_tif16(path, rng, h=150, w=200):
+    import cv2
+
+    img = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    cv2.imwrite(str(path), img[..., ::-1])
+    return img
+
+
+def test_denoise_image_cli_sharded_matches_single(tmp_path, ckpt):
+    """The single-image CLI over 8 devices must reproduce the single-device
+    output (fp32 end to end; the only tolerated difference is the fp32
+    accumulation order where feather strips from different devices meet)."""
+    from nind_denoise_tpu.pipeline import denoise_image_cli as dic
+
+    rng = np.random.default_rng(0)
+    pin = tmp_path / "in.png"
+    _write_png16(pin, rng)
+    common = ["-i", str(pin), "--model_path", ckpt, "--network", "UtNet",
+              "--cs", "104", "--ucs", "88", "--compute_dtype", "float32",
+              "--precision", "float32", "--exif_method", "noexif"]
+    o1, o8 = str(tmp_path / "out1.tiff"), str(tmp_path / "out8.tiff")
+    dic.run(dic.build_parser().parse_known_args_layered(
+        common + ["-o", o1, "--devices", "1"])[0])
+    assert jax.device_count() >= 8, "conftest must provision the 8-CPU mesh"
+    dic.run(dic.build_parser().parse_known_args_layered(
+        common + ["-o", o8, "--devices", "8"])[0])
+    x1, x8 = imgio.load_img(o1), imgio.load_img(o8)
+    np.testing.assert_allclose(x8, x1, atol=2e-6)  # ~1 ulp of fp32 around 1.0
+
+
+def test_denoise_image_cli_sharded_uint16_out(tmp_path, ckpt):
+    """16-bit .tif output through the sharded path: quantization conventions
+    must match the single-device engine (at most 1 LSB of rounding skew on
+    isolated feather-strip pixels)."""
+    from nind_denoise_tpu.pipeline import denoise_image_cli as dic
+
+    rng = np.random.default_rng(1)
+    pin = tmp_path / "in.png"
+    _write_png16(pin, rng, h=120, w=160)
+    common = ["-i", str(pin), "--model_path", ckpt, "--network", "UtNet",
+              "--cs", "104", "--ucs", "88", "--compute_dtype", "float32",
+              "--precision", "float32", "--exif_method", "noexif"]
+    o1, o8 = str(tmp_path / "o1.tif"), str(tmp_path / "o8.tif")
+    dic.run(dic.build_parser().parse_known_args_layered(
+        common + ["-o", o1, "--devices", "1"])[0])
+    dic.run(dic.build_parser().parse_known_args_layered(
+        common + ["-o", o8, "--devices", "8"])[0])
+    import cv2
+
+    u1 = cv2.imread(o1, cv2.IMREAD_UNCHANGED)
+    u8 = cv2.imread(o8, cv2.IMREAD_UNCHANGED)
+    diff = np.abs(u1.astype(np.int32) - u8.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_denoise_cli_dir_batch_matches_serial(tmp_path, ckpt):
+    """Pipeline CLI directory mode: --devices 8 dispatches images
+    one-per-device; outputs must match the serial single-device run."""
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    rng = np.random.default_rng(2)
+    ind = tmp_path / "in"
+    ind.mkdir()
+    # 3 same-shape images (one SPMD chunk) + 1 different shape (own chunk)
+    for i in range(3):
+        _write_tif16(ind / f"img{i}.tif", rng)
+    _write_tif16(ind / "odd.tif", rng, h=120, w=180)
+
+    out_s = tmp_path / "serial"
+    out_b = tmp_path / "batch"
+    out_s.mkdir()
+    out_b.mkdir()
+    common = ["--tiff-input", "-e", "png", "--model_path", ckpt,
+              "--cs", "104", "--ucs", "88", "--iterations", "2"]
+    denoise_cli.main([str(ind), "-o", str(out_s), "--devices", "1"] + common)
+    denoise_cli.main([str(ind), "-o", str(out_b), "--devices", "8"] + common)
+
+    import cv2
+
+    names = sorted(p.name for p in out_s.iterdir())
+    assert names == sorted(p.name for p in out_b.iterdir())
+    assert len(names) == 4
+    for n in names:
+        a = cv2.imread(str(out_s / n), cv2.IMREAD_UNCHANGED)
+        b = cv2.imread(str(out_b / n), cv2.IMREAD_UNCHANGED)
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        # serial path: bf16 engine compute; batch path: fp32 default —
+        # compare on the quantized uint8 output where both agree to 1 LSB
+        assert diff.max() <= 1, (n, diff.max())
+
+
+def test_denoise_cli_dir_batch_nightmode_no_deblur(tmp_path, ckpt):
+    """--nightmode --no_deblur directory batch through the multi-device
+    path (the BASELINE config #5 shape): .tiff outputs, no RL stage."""
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    rng = np.random.default_rng(3)
+    ind = tmp_path / "in"
+    ind.mkdir()
+    imgs = [_write_tif16(ind / f"i{i}.tif", rng, h=120, w=160)
+            for i in range(2)]
+    outd = tmp_path / "out"
+    outd.mkdir()
+    denoise_cli.main([str(ind), "-o", str(outd), "--tiff-input", "-e", "tiff",
+                      "--nightmode", "--no_deblur", "--model_path", ckpt,
+                      "--cs", "104", "--ucs", "88", "--devices", "8"])
+    outs = sorted(outd.iterdir())
+    assert len(outs) == 2
+    for p in outs:
+        x = imgio.load_img(str(p))
+        assert x.shape == (3, 120, 160) and np.isfinite(x).all()
