@@ -94,28 +94,101 @@ def _blur(x: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
     return _blur_axis(_blur_axis(x, k1d, 1), k1d, 2)
 
 
-@partial(jax.jit, static_argnames=("sigma", "iterations", "dt", "impl"))
+def _deriche_coeffs(sigma: float):
+    """CImg's Deriche order-0 recursive-gaussian coefficients, transcribed
+    from CImg.h ``deriche()`` (the blur G'MIC's fast approximation uses:
+    CImg ``blur(sigma, boundary, is_fast_approx=true)`` dispatches to
+    ``deriche(sigma, 0, axis, boundary)``). alpha = 1.695/sigma with sigma
+    clamped at 0.1; a0..a3/b1/b2 per the order-0 case; coefp/coefn are the
+    neumann steady-state initializers."""
+    nsigma = max(float(sigma), 0.1)
+    alpha = 1.695 / nsigma
+    ema = math.exp(-alpha)
+    ema2 = math.exp(-2.0 * alpha)
+    b1, b2 = -2.0 * ema, ema2
+    k = (1.0 - ema) ** 2 / (1.0 + 2.0 * alpha * ema - ema2)
+    a0, a1 = k, k * (alpha - 1.0) * ema
+    a2, a3 = k * (alpha + 1.0) * ema, -k * ema2
+    coefp = (a0 + a1) / (1.0 + b1 + b2)
+    coefn = (a2 + a3) / (1.0 + b1 + b2)
+    return dict(a0=a0, a1=a1, a2=a2, a3=a3, b1=b1, b2=b2,
+                coefp=coefp, coefn=coefn)
+
+
+def _deriche_axis(x: jnp.ndarray, sigma: float, axis: int) -> jnp.ndarray:
+    """Deriche order-0 IIR gaussian along ``axis``, neumann boundary —
+    CImg's ``_cimg_deriche_apply`` causal+anticausal pair as two
+    ``lax.scan``s (sequential over the axis, vectorized over the rest).
+
+    Fine for the parity-selectable ``psf='gmic_fast'`` variant; if this
+    ever becomes the product default, rewrite as an associative_scan (the
+    2nd-order recurrence is an affine map composition) or a Pallas kernel —
+    a length-N scan serializes on TPU."""
+    c = _deriche_coeffs(sigma)
+    xm = jnp.moveaxis(x, axis, 0)
+
+    def fwd(carry, xc):
+        xp, yp, yb = carry
+        yc = c["a0"] * xc + c["a1"] * xp - c["b1"] * yp - c["b2"] * yb
+        return (xc, yc, yp), yc
+
+    x0 = xm[0]
+    _, y_causal = lax.scan(fwd, (x0, c["coefp"] * x0, c["coefp"] * x0), xm)
+
+    def bwd(carry, xc):
+        xn, xa, yn, ya = carry
+        yc = c["a2"] * xn + c["a3"] * xa - c["b1"] * yn - c["b2"] * ya
+        return (xc, xn, yc, yn), yc
+
+    xl = xm[-1]
+    _, y_anti_rev = lax.scan(bwd, (xl, xl, c["coefn"] * xl, c["coefn"] * xl),
+                             xm[::-1])
+    return jnp.moveaxis(y_causal + y_anti_rev[::-1], 0, axis)
+
+
+def _deriche_blur(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """G'MIC fast-approximation blur: Deriche IIR along H then W. NHWC."""
+    return _deriche_axis(_deriche_axis(x, sigma, 1), sigma, 2)
+
+
+@partial(jax.jit, static_argnames=("sigma", "iterations", "dt", "impl", "psf"))
 def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
-              dt: float = 1.0, impl: str = "auto") -> jnp.ndarray:
+              dt: float = 1.0, impl: str = "auto",
+              psf: str = "gaussian") -> jnp.ndarray:
     """Richardson-Lucy deconvolution. img: (N, H, W, C) or (H, W, C), any
     non-negative scale. Returns same shape, float32.
 
     ``impl``: 'pallas' = the fused per-iteration VMEM kernel
     (ops/pallas_blur.rl_deblur_pallas_fused, 267.8 vs 118.4 MP/s measured
     at 6 MP / 10 iter on v5e — 2.26x); 'xla' = tap-unrolled lax path;
-    'auto' (default) = pallas on a TPU backend when applicable (HWC, dt=1),
-    xla otherwise (CPU runs the lax path rather than interpret mode)."""
+    'auto' (default) = pallas on a TPU backend when applicable (HWC, dt=1,
+    width within the VMEM budget), xla otherwise (CPU runs the lax path
+    rather than interpret mode).
+
+    ``psf``: 'gaussian' (the PRODUCT DEFAULT) = exact truncated-FIR
+    gaussian of the stated sigma — the PSF the gmic docs define;
+    'gmic_fast' = CImg's Deriche order-0 IIR approximation, i.e. what the
+    reference pipeline's ``use_fast_approximation=1`` flag actually runs
+    (/root/reference/src/denoise.py:470-475). Both exist so that when a
+    gmic binary is available, tests/test_rl_deblur.py identifies the
+    bit-faithful variant (residual risk: the stdlib's per-iteration
+    structure around the blur is transcribed, not diffed against source).
+    """
+    if psf not in ("gaussian", "gmic_fast"):
+        raise ValueError(f"rl_deblur: unknown psf {psf!r}")
     if impl == "auto":
         from . import pallas_blur as _pb
 
         # the fused kernel's VMEM scratch scales with image width; above the
-        # budget (~20k px at sigma=1) it would fail to compile — fall back
+        # budget (~26k px at sigma=1) it would fail to compile — fall back
         impl = ("pallas" if dt == 1.0 and img.ndim == 3
+                and psf == "gaussian"
                 and jax.default_backend() == "tpu"
                 and _pb.fused_fits(img.shape[1], sigma) else "xla")
     if impl == "pallas":
-        if dt != 1.0 or img.ndim != 3:
-            raise NotImplementedError("pallas RL impl supports HWC, dt=1 only")
+        if dt != 1.0 or img.ndim != 3 or psf != "gaussian":
+            raise NotImplementedError(
+                "pallas RL impl supports HWC, dt=1, psf='gaussian' only")
         from . import pallas_blur
 
         return pallas_blur.rl_deblur_pallas_fused(img, sigma, iterations)
@@ -123,13 +196,15 @@ def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
     x = img[None] if squeeze else img
     x = x.astype(jnp.float32)
     k = gaussian_psf_1d(sigma)
+    blur = (lambda t: _blur(t, k)) if psf == "gaussian" \
+        else (lambda t: _deriche_blur(t, sigma))
     eps = 1e-8
     d = jnp.maximum(x, 0.0)
 
     def body(_, u):
-        est = _blur(u, k)
+        est = blur(u)
         ratio = d / jnp.maximum(est, eps)
-        corr = _blur(ratio, k)
+        corr = blur(ratio)
         if dt != 1.0:
             corr = jnp.power(jnp.maximum(corr, eps), dt)
         return u * corr
@@ -140,10 +215,10 @@ def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
 
 def rl_deblur_to_uint8(img01: np.ndarray, sigma: float = 1.0,
                        iterations: int = 10, dt: float = 1.0,
-                       impl: str = "auto") -> np.ndarray:
+                       impl: str = "auto", psf: str = "gaussian") -> np.ndarray:
     """Full gmic-pipeline semantics on a [0,1]-normalized HWC image:
     RL deblur, then ``*65535/256, clip 0-255, round`` -> uint8 HWC."""
     u = np.asarray(rl_deblur(jnp.asarray(img01, jnp.float32), sigma, iterations,
-                             dt, impl=impl))
+                             dt, impl=impl, psf=psf))
     out = np.clip(u * (65535.0 / 256.0), 0.0, 255.0)
     return np.round(out).astype(np.uint8)

@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on-device RL kernel: auto (default: fused pallas "
                         "VMEM kernel on TPU, 2.26x the xla path; xla "
                         "elsewhere), or force xla/pallas")
+    p.add_argument("--rl-psf", default="gaussian",
+                   choices=["gaussian", "gmic_fast"], dest="rl_psf",
+                   help="RL blur PSF: exact truncated-FIR gaussian (product "
+                        "default, the PSF gmic documents) or gmic_fast "
+                        "(CImg Deriche-IIR approximation — what the "
+                        "reference's use_fast_approximation=1 actually runs)")
     p.add_argument("--height", help="Max output height")
     p.add_argument("--copy_num", help="darktable duplicate number (XMP naming)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -219,7 +225,8 @@ def _write_encoded(img01_hwc, out_fpath: pathlib.Path, quality: str) -> None:
 
 def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
                       sigma: int, iterations: int, quality: str,
-                      verbose: bool = False, impl: str = "auto") -> None:
+                      verbose: bool = False, impl: str = "auto",
+                      psf: str = "gaussian") -> None:
     """On-device RL on a device-resident image, gmic post-op semantics
     (*65535/256, cut 0-255, round), uint8 quantize on device, single fetch."""
     import jax.numpy as jnp
@@ -228,7 +235,8 @@ def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
     from ..ops import rl_deblur
 
     img = jnp.clip(jnp.asarray(img01_hwc, jnp.float32), 0, None)
-    u = rl_deblur.rl_deblur(img, float(sigma), int(iterations), impl=impl)
+    u = rl_deblur.rl_deblur(img, float(sigma), int(iterations), impl=impl,
+                            psf=psf)
     u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)).astype(jnp.uint8)
     _encode_u8(transfer.fast_get(u8), out_fpath, quality)
     if verbose:
@@ -237,14 +245,15 @@ def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
 
 def _rl_deblur_ondevice(in_fpath: pathlib.Path, out_fpath: pathlib.Path,
                         sigma: int, iterations: int, quality: str,
-                        verbose: bool = False, impl: str = "auto") -> None:
+                        verbose: bool = False, impl: str = "auto",
+                        psf: str = "gaussian") -> None:
     import cv2
 
     from ..ops import rl_deblur
 
     img = imgio.load_img(str(in_fpath)).transpose(1, 2, 0)  # [0,1] HWC
     u8 = rl_deblur.rl_deblur_to_uint8(img, float(sigma), int(iterations),
-                                      impl=impl)
+                                      impl=impl, psf=psf)
     bgr = cv2.cvtColor(u8, cv2.COLOR_RGB2BGR)
     if out_fpath.suffix.lower() in (".jpg", ".jpeg"):
         cv2.imwrite(str(out_fpath), bgr, [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
@@ -342,7 +351,8 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
         denoised01 = _denoise_to_array(mcfg, s1_fpath, args)
         if rldeblur:
             _rl_array_to_file(denoised01, outpath, sigma, iterations, quality,
-                              verbose=args.verbose, impl=args.rl_impl)
+                              verbose=args.verbose, impl=args.rl_impl,
+                              psf=args.rl_psf)
         elif outpath.suffix.lower() == ".tiff":
             imgio.save_img(denoised01.transpose(2, 0, 1), str(outpath))
         else:
@@ -386,7 +396,8 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
                 outpath = outpath.replace(outpath.with_name(restore))
         else:
             _rl_deblur_ondevice(s2_fpath, outpath, sigma, iterations, quality,
-                                verbose=args.verbose, impl=args.rl_impl)
+                                verbose=args.verbose, impl=args.rl_impl,
+                                psf=args.rl_psf)
 
     exif_mod.clone_exif(s1_fpath, outpath, verbose=args.verbose)
 
@@ -466,7 +477,7 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
                 # batched NHWC RL (auto resolves to the xla path for 4-D),
                 # gmic post-op semantics, uint8 quantize — all on device
                 u = rl_deblur.rl_deblur(den, float(sigma), iterations,
-                                        impl="auto")
+                                        impl="auto", psf=args.rl_psf)
                 u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
                                ).astype(jnp.uint8)
                 host = np.asarray(u8)
