@@ -28,22 +28,40 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
 
-def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 3) -> float:
-    """torch-CPU UtNet MP/s on one tile (median of ``reps`` runs, cached)."""
+def _load_baseline_cache() -> dict:
     if os.path.isfile(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            cached = json.load(f)
-        if cached.get("reps", 1) >= reps:
-            return cached["cpu_mps"]
+            return json.load(f)
+    return {}
+
+
+def _save_baseline_cache(cache: dict) -> None:
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+
+
+def _build_torch_model(funit: int):
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from test_models_parity import build_torch_utnet
+
+    torch.manual_seed(0)
+    return build_torch_utnet(funit=funit)
+
+
+def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 3) -> float:
+    """torch-CPU UtNet MP/s on one tile (median of ``reps`` runs, cached)."""
+    cache = _load_baseline_cache()
+    if cache.get("reps", 0) >= reps and "cpu_mps" in cache:
+        return cache["cpu_mps"]
     import statistics
 
     import numpy as np
     import torch
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from test_models_parity import build_torch_utnet
 
-    torch.manual_seed(0)
-    model = build_torch_utnet(funit=funit).eval()
+    model = _build_torch_model(funit).eval()
     x = torch.from_numpy(np.random.default_rng(0).random((1, 3, cs, cs)).astype("float32"))
     with torch.no_grad():
         model.forward(x)  # warmup
@@ -53,10 +71,162 @@ def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 3) -> float
             model.forward(x)
             times.append(time.perf_counter() - t0)
     mps = (cs * cs / 1e6) / statistics.median(times)
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump({"cpu_mps": mps, "funit": funit, "cs": cs, "reps": reps,
-                   "threads": torch.get_num_threads()}, f)
+    cache.update({"cpu_mps": mps, "funit": funit, "cs": cs, "reps": reps,
+                  "threads": torch.get_num_threads()})
+    _save_baseline_cache(cache)
     return mps
+
+
+def _torch_rl(img_hwc, sigma: float, iterations: int):
+    """torch-CPU Richardson-Lucy, same algorithm as ops/rl_deblur (separable
+    FIR gaussian, replicate boundary) — the CPU reference for the rl row
+    (the reference itself shells out to gmic C++; a vectorized torch
+    implementation is the honest same-work CPU measurement)."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    r = max(1, int(math.ceil(3.0 * sigma)))
+    k = torch.exp(-(torch.arange(-r, r + 1, dtype=torch.float32) ** 2)
+                  / (2 * sigma ** 2))
+    k = k / k.sum()
+    kh = k.view(1, 1, -1, 1).repeat(3, 1, 1, 1)
+    kw = k.view(1, 1, 1, -1).repeat(3, 1, 1, 1)
+    t = torch.from_numpy(img_hwc).permute(2, 0, 1)[None]
+
+    def blur(u):
+        u = F.pad(u, (0, 0, r, r), mode="replicate")
+        u = F.conv2d(u, kh, groups=3)
+        u = F.pad(u, (r, r, 0, 0), mode="replicate")
+        return F.conv2d(u, kw, groups=3)
+
+    d = t.clamp_min(0)
+    u = d.clone()
+    for _ in range(iterations):
+        est = blur(u)
+        u = u * blur(d / est.clamp_min(1e-8))
+    return u
+
+
+def measure_cpu_rl_mps(reps: int = 2) -> float:
+    """torch-CPU RL MP/s (sigma=1, 10 iters) on 0.5 MP — CPU throughput is
+    size-invariant to first order, so the small image keeps the one-time
+    measurement minutes-free while staying honest per-MP. Cached."""
+    cache = _load_baseline_cache()
+    if "rl_cpu_mps" in cache:
+        return cache["rl_cpu_mps"]
+    import numpy as np
+    import torch
+
+    img = np.random.default_rng(0).random((500, 1000, 3), dtype=np.float32)
+    with torch.no_grad():
+        _torch_rl(img[:64], 1.0, 2)  # warm threads/allocator
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _torch_rl(img, 1.0, 10)
+            times.append(time.perf_counter() - t0)
+    mps = 0.5 / min(times)
+    cache["rl_cpu_mps"] = mps
+    _save_baseline_cache(cache)
+    return mps
+
+
+def measure_cpu_pipeline_mps(funit: int = 64) -> float:
+    """torch-CPU full-pipeline MP/s: decode TIFF -> tiled UtNet denoise
+    (reference tile geometry via core.tiles, torch forwards, host stitch) ->
+    torch RL (sigma=1 x10) -> JPEG encode. Measured warm on a 1.2 MP image
+    (CPU rate is size-invariant; a 6/24 MP run would take the same per-MP
+    minutes every cold round). Serves as the CPU reference for BOTH the
+    pipeline and nightmode rows: without darktable the per-image work of
+    the two configs is identical. Cached."""
+    cache = _load_baseline_cache()
+    if "pipeline_cpu_mps" in cache:
+        return cache["pipeline_cpu_mps"]
+    import tempfile
+
+    import cv2
+    import numpy as np
+    import torch
+
+    from nind_denoise_tpu.core.tiles import TilePlan
+
+    h, w = 1000, 1200
+    model = _build_torch_model(funit).eval()
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in.tif")
+        cv2.imwrite(src, (np.random.default_rng(0).random((h, w, 3)) * 65535
+                          ).astype(np.uint16))
+
+        def run_once():
+            bgr = cv2.imread(src, cv2.IMREAD_UNCHANGED)
+            img = bgr[..., ::-1].astype(np.float32) / 65535.0
+            plan = TilePlan(h, w, 504, 480, 6)
+            padded = plan.pad_image(img)
+            canvas = plan.new_canvas()
+            with torch.no_grad():
+                for batch in plan.batches(4):
+                    tiles = plan.gather(padded, batch)  # (B, cs, cs, 3)
+                    out = model(torch.from_numpy(
+                        tiles.transpose(0, 3, 1, 2).copy()))
+                    plan.scatter_add(canvas,
+                                     out.numpy().transpose(0, 2, 3, 1), batch)
+                den = plan.finalize(canvas)
+                u = _torch_rl(np.ascontiguousarray(den), 1.0, 10)[0]
+            u8 = np.clip(u.numpy().transpose(1, 2, 0) * (65535.0 / 256.0),
+                         0, 255).round().astype(np.uint8)
+            cv2.imwrite(os.path.join(td, "out.jpg"), u8[..., ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, 90])
+
+        run_once()  # warm (threads, allocator, file cache)
+        t0 = time.perf_counter()
+        run_once()
+        dt = time.perf_counter() - t0
+    mps = (h * w / 1e6) / dt
+    cache["pipeline_cpu_mps"] = mps
+    cache["nightmode_cpu_mps"] = mps  # identical per-image work on CPU
+    _save_baseline_cache(cache)
+    return mps
+
+
+def measure_cpu_train_crops_s(funit: int = 64, bs: int = 30,
+                              cs: int = 184) -> float:
+    """torch-CPU UtNet-std training step (bs=30, cs=184, MS-SSIM loss via
+    the independent torch oracle, Adam-amsgrad) — one warm measured step,
+    crops/s. Cached (a single step takes ~minutes on this 1-core host)."""
+    cache = _load_baseline_cache()
+    if "train_cpu_crops_s" in cache:
+        return cache["train_cpu_crops_s"]
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from test_losses import torch_ms_ssim
+
+    model = _build_torch_model(funit).train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4, betas=(0.75, 0.999),
+                           amsgrad=True)
+    rng = np.random.default_rng(0)
+
+    def step(b):
+        clean = torch.from_numpy(rng.random((b, 3, cs, cs), dtype=np.float32))
+        noisy = (clean + torch.randn_like(clean) * 0.05).clamp(0, 1)
+        opt.zero_grad()
+        loss = (1.0 - torch_ms_ssim(model(noisy), clean)).mean()
+        loss.backward()
+        opt.step()
+
+    step(2)  # warm threads/allocator at a cheap batch
+    t0 = time.perf_counter()
+    step(bs)
+    dt = time.perf_counter() - t0
+    cps = bs / dt
+    cache["train_cpu_crops_s"] = cps
+    _save_baseline_cache(cache)
+    return cps
 
 
 def bench_tiled(args, cpu_mps, quick=False):
@@ -139,8 +309,10 @@ def bench_rl(args, cpu_mps):
         y = rl_deblur.rl_deblur(img, 1.0, 10)
     np.asarray(y.ravel()[0])
     dt = (time.perf_counter() - t0) / reps
-    return {"metric": "rl_deblur_6mp_10iter", "value": round(6.0 / dt, 2),
-            "unit": "MP/s", "vs_baseline": None}
+    mps = 6.0 / dt
+    return {"metric": "rl_deblur_6mp_10iter", "value": round(mps, 2),
+            "unit": "MP/s",
+            "vs_baseline": round(mps / measure_cpu_rl_mps(), 2)}
 
 
 def bench_pipeline(args, cpu_mps):
@@ -171,8 +343,10 @@ def bench_pipeline(args, cpu_mps):
         t0 = time.perf_counter()
         denoise_cli.main(argv)
         dt = time.perf_counter() - t0
-    return {"metric": "pipeline_tiff_to_jpg_6mp", "value": round(6.0 / dt, 3),
-            "unit": "MP/s", "vs_baseline": None}
+    mps = 6.0 / dt
+    return {"metric": "pipeline_tiff_to_jpg_6mp", "value": round(mps, 3),
+            "unit": "MP/s",
+            "vs_baseline": round(mps / measure_cpu_pipeline_mps(args.funit), 2)}
 
 
 def bench_nightmode_batch(args, cpu_mps, n_images: int = 4):
@@ -212,8 +386,12 @@ def bench_nightmode_batch(args, cpu_mps, n_images: int = 4):
         for i in range(1, n_images):
             run_one(i)
         dt = (time.perf_counter() - t0) / (n_images - 1)
+    mps = 6.0 / dt
+    measure_cpu_pipeline_mps(args.funit)  # ensures nightmode_cpu_mps cached
+    night_cpu = _load_baseline_cache()["nightmode_cpu_mps"]
     return {"metric": "nightmode_batch_per_image_6mp",
-            "value": round(6.0 / dt, 3), "unit": "MP/s", "vs_baseline": None}
+            "value": round(mps, 3), "unit": "MP/s",
+            "vs_baseline": round(mps / night_cpu, 2)}
 
 
 def bench_train(args, cpu_mps):
@@ -250,8 +428,10 @@ def bench_train(args, cpu_mps):
         state, m = step(state, clean, noisy)
     float(m["weighted"])  # force the chain (block_until_ready no-ops on axon)
     dt = (time.perf_counter() - t0) / reps
-    return {"metric": "train_crops_per_s_utnet_std", "value": round(bs / dt, 2),
-            "unit": "crops/s", "vs_baseline": None}
+    cps = bs / dt
+    return {"metric": "train_crops_per_s_utnet_std", "value": round(cps, 2),
+            "unit": "crops/s",
+            "vs_baseline": round(cps / measure_cpu_train_crops_s(args.funit), 2)}
 
 
 MODES = {
