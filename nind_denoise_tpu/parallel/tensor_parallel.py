@@ -2,10 +2,13 @@
 
 The production UtNet is ~31 M params, so TP is never *required* for it —
 data/tile parallelism (parallel/mesh.py, parallel/sharded_engine.py) is
-the efficient deployment. This module exists for the memory-constrained
-regimes the framework must still serve (huge funit variants, activation-
-heavy whole-image forwards): shard every conv weight on its OUTPUT-channel
-dim over a ``('model',)`` mesh axis and let GSPMD insert the collectives.
+the efficient deployment. This module covers the WEIGHT-memory regime
+(huge funit variants): shard every conv weight on its OUTPUT-channel dim
+over a ``('model',)`` mesh axis and let GSPMD insert the collectives.
+For the ACTIVATION-memory regime — whole-image forwards — out-channel TP
+is the wrong tool (activations stay replicated); use
+parallel/spatial.SpatialShardedForward, which shards the H axis and
+divides activation memory by the mesh size.
 No manual collectives: the sharding annotations alone drive XLA to
 partition each conv's output channels and resolve the next conv's
 input-channel contraction (all-gather or reduce-scatter, its choice) over

@@ -157,6 +157,34 @@ def _run_sharded(args, ndev: int) -> None:
           f"({ndev}-device row-band sharding)")
 
 
+def _run_whole_spatial(args, ndev: int) -> None:
+    """--whole_image over >1 device: H-axis spatial sharding
+    (parallel/spatial.SpatialShardedForward — GSPMD partitions the convs
+    and inserts the halo exchanges). Fixed per-chip activation memory: the
+    'enormous RAM' whole-image regime runs at ~1/ndev the footprint."""
+    from ..core import tiles as tiles_mod
+    from ..engine.tile_engine import resolve_apply_fn
+    from ..parallel import mesh as pmesh
+    from ..parallel.spatial import SpatialShardedForward
+
+    params, state, activation = load_generator_params(args)
+    if args.g_network == "UNet":
+        params = (params, state)
+    apply_fn, params = resolve_apply_fn(args.g_network, params, activation)
+    fwd = SpatialShardedForward(apply_fn, params,
+                                mesh=pmesh.make_mesh(ndev, axis_name="sp"))
+    img = imgio.load_img(args.input)  # (3, H, W)
+    pad = args.pad or 0
+    padded = tiles_mod.whole_image_pad(img, pad) if pad \
+        else img.astype(np.float32)
+    y = np.asarray(fwd(padded.transpose(1, 2, 0)))[0]
+    if pad:
+        y = y[pad:-pad, pad:-pad]
+    _save_float_hwc(y, args.output, quality=args.quality)
+    print(f"Denoised image written to {args.output} "
+          f"({ndev}-device spatial sharding, whole image)")
+
+
 def _save_float_hwc(out_hwc: np.ndarray, path: str, quality: int = 95) -> None:
     """fp32 HWC canvas -> file, reference bit-depth conventions
     (tif/png 16-bit, jpg 8-bit, tiff fp32 unclipped — pt_helpers.py:22-40)."""
@@ -183,6 +211,13 @@ def run(args) -> str:
     if ndev > 1 and not args.whole_image:
         start_time = time.time()
         _run_sharded(args, ndev)
+        if args.exif_method != "noexif":
+            exif_mod.clone_exif(args.input, args.output)
+        print("Elapsed time: " + str(time.time() - start_time) + " seconds")
+        return args.output
+    if ndev > 1 and args.whole_image:
+        start_time = time.time()
+        _run_whole_spatial(args, ndev)
         if args.exif_method != "noexif":
             exif_mod.clone_exif(args.input, args.output)
         print("Elapsed time: " + str(time.time() - start_time) + " seconds")

@@ -251,18 +251,41 @@ def validate_generator(eval_step, gen, validation_set, loss_cs,
 
 def test_generator(gen, test_set, weights, output_to_dir: Optional[str] = None) -> float:
     """Whole-image test (nn_train.py:73-93); device-side here instead of the
-    reference's CPU fallback."""
+    reference's CPU fallback (its "enormous amounts of RAM" warning). On a
+    multi-device host the forward additionally shards the H axis over the
+    mesh (parallel/spatial.py) so per-chip activation memory stays ~1/ndev
+    — the regime the reference pushed to CPU runs at fixed chip footprint."""
+    import jax
     import jax.numpy as jnp
 
     from ..core import imgio
     from . import steps as steps_mod
+
+    spatial = None
+    if jax.device_count() > 1:
+        from ..parallel.spatial import SpatialShardedForward
+
+        # cached on the generator: one compiled program per image size for
+        # the whole run, fresh params re-replicated each epoch
+        spatial = getattr(gen, "_spatial_test_fwd", None)
+        if spatial is None:
+            spatial = SpatialShardedForward(gen.infer, gen.state.params)
+            gen._spatial_test_fwd = spatial
+
+    def whole_forward(n):
+        if spatial is not None and n.shape[1] % spatial.ndev == 0:
+            try:
+                return spatial(n, params=gen.state.params)
+            except Exception:  # odd size/sharding corner: single-device path
+                pass
+        return gen.infer(gen.state.params, n)
 
     losses = []
     for i in range(len(test_set)):
         clean, noisy = test_set[i]
         n = jnp.asarray(noisy.transpose(1, 2, 0))[None]
         c = jnp.asarray(clean.transpose(1, 2, 0))[None]
-        den = jnp.clip(gen.infer(gen.state.params, n), 0, 1)
+        den = jnp.clip(whole_forward(n), 0, 1)
         total, _ = steps_mod._quality_losses(den, c, gen.weights)
         if output_to_dir is not None:
             os.makedirs(output_to_dir, exist_ok=True)
