@@ -110,11 +110,16 @@ class DeviceBatchDenoiser:
         self._step_cache[key] = jitted
         return jitted
 
-    def denoise_batch(self, imgs: np.ndarray, scale: float = 1.0):
+    def denoise_batch(self, imgs: np.ndarray, scale: float = 1.0,
+                      keep_padded: bool = False):
         """(B, H, W, C) storage-dtype images -> (B, H, W, C) fp32 device
         array with the image axis sharded over the mesh. ``scale`` divides
         to [0, 1] on device (255 / 65535 / 1.0). B must be <= ndev; short
         batches pad with dummy images (cropped off in the result).
+
+        ``keep_padded=True`` returns ``(full_ndev_array, B)`` instead of
+        slicing, so downstream shard_map post-ops (e.g.
+        ``rl_deblur_sharded``) keep the mesh-divisible image axis.
         """
         b, h, w, c = imgs.shape
         if b > self.ndev:
@@ -130,7 +135,7 @@ class DeviceBatchDenoiser:
         step = self._step(h, w, c)
         out = step(self.params, padded_dev,
                    jnp.asarray(1.0 / scale, self.cdt))
-        return out[:b]
+        return (out, b) if keep_padded else out[:b]
 
     def denoise_many(self, imgs: np.ndarray, scale: float = 1.0) -> np.ndarray:
         """Arbitrary-length same-shape batch: chunks of ndev images through
@@ -140,3 +145,29 @@ class DeviceBatchDenoiser:
             outs.append(np.asarray(
                 self.denoise_batch(imgs[i0:i0 + self.ndev], scale)))
         return np.concatenate(outs)
+
+
+_RL_SHARDED_CACHE: dict = {}
+
+
+def rl_deblur_sharded(imgs_dev, sigma: float, iterations: int, mesh: Mesh,
+                      axis: str = "data", impl: str = "auto",
+                      psf: str = "gaussian"):
+    """RL-deblur a (ndev, H, W, C) image-axis-sharded batch: each device
+    runs the SINGLE-image RL path on its local image — on TPU, ``auto``
+    resolves to the fused per-iteration Pallas kernel (2.26x the XLA path)
+    PER DEVICE, which the plain batched 4-D call cannot use (it is
+    HWC-only). Zero collectives; output keeps the sharding."""
+    from ..ops import rl_deblur
+
+    key = (id(mesh), imgs_dev.shape, float(sigma), int(iterations), impl, psf)
+    fn = _RL_SHARDED_CACHE.get(key)
+    if fn is None:
+        def local(x):  # (1, H, W, C) per device
+            return rl_deblur.rl_deblur(x[0], float(sigma), int(iterations),
+                                       impl=impl, psf=psf)[None]
+
+        fn = jax.jit(shard_map(local, mesh=mesh, in_specs=P(axis),
+                               out_specs=P(axis)))
+        _RL_SHARDED_CACHE[key] = fn
+    return fn(imgs_dev)

@@ -434,7 +434,6 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
 
     from ..core.tiles import default_cs_ucs
     from ..engine.tile_engine import resolve_apply_fn
-    from ..ops import rl_deblur
     from ..parallel import mesh as pmesh
     from ..parallel.batch_engine import DeviceBatchDenoiser
 
@@ -467,31 +466,72 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
         groups.setdefault((raw.shape, str(raw.dtype), scale),
                           []).append((f, raw))
 
+    from ..parallel import batch_engine
+    from ..parallel.sharded_engine import ShardedTileDenoiser
+
+    sharded = None  # lazy row-band engine for small chunks
+
+    def write_one(f, outpath, img01_or_u8, is_u8):
+        if is_u8:
+            _encode_u8(img01_or_u8, outpath, quality)
+        elif outpath.suffix.lower() == ".tiff":
+            imgio.save_img(np.asarray(img01_or_u8).transpose(2, 0, 1),
+                           str(outpath))
+        else:
+            _write_encoded(img01_or_u8, outpath, quality)
+        exif_mod.clone_exif(f, outpath, verbose=args.verbose)
+
     written = []
     for (_, _, scale), members in groups.items():
         for i0 in range(0, len(members), batcher.ndev):
             chunk = members[i0:i0 + batcher.ndev]
-            den = batcher.denoise_batch(
-                np.stack([r for _, r in chunk]), scale)  # (B,H,W,C) sharded
+            if len(chunk) * 2 <= batcher.ndev:
+                # few images, many devices: row-band tile sharding uses the
+                # WHOLE mesh per image instead of idling ndev-B devices
+                if sharded is None:
+                    sharded = ShardedTileDenoiser(
+                        apply_fn, params, cs=cs, ucs=ucs,
+                        tiles_per_device=max(1, args.batch_size // ndev),
+                        compute_dtype="bfloat16", mesh=batcher.mesh)
+                for f, raw in chunk:
+                    print(f"\n----------------- {f.name} "
+                          f"(row-band x{ndev}) -----------------\n")
+                    outpath = _collision_resolve(_initial_outpath(args, f))
+                    out01 = sharded.denoise_hwc(
+                        raw.astype(np.float32) / scale)
+                    if rldeblur:
+                        _rl_array_to_file(out01, outpath, sigma,
+                                          int(iterations), quality,
+                                          verbose=args.verbose,
+                                          impl=args.rl_impl, psf=args.rl_psf)
+                        exif_mod.clone_exif(f, outpath, verbose=args.verbose)
+                    else:
+                        write_one(f, outpath, out01, is_u8=False)
+                    written.append(outpath)
+                continue
+            den_full, nb = batcher.denoise_batch(
+                np.stack([r for _, r in chunk]), scale,
+                keep_padded=True)  # (ndev, H, W, C) sharded
             if rldeblur:
-                # batched NHWC RL (auto resolves to the xla path for 4-D),
-                # gmic post-op semantics, uint8 quantize — all on device
-                u = rl_deblur.rl_deblur(den, float(sigma), iterations,
-                                        impl="auto", psf=args.rl_psf)
+                # per-device single-image RL under shard_map: on TPU each
+                # device runs the fused Pallas kernel on its own image
+                # (the plain 4-D batched call is XLA-only); then the gmic
+                # post-op + uint8 quantize, all still sharded, one fetch
+                u = batch_engine.rl_deblur_sharded(
+                    den_full, float(sigma), int(iterations), batcher.mesh,
+                    impl=args.rl_impl, psf=args.rl_psf)
                 u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
                                ).astype(jnp.uint8)
-                host = np.asarray(u8)
+                host = np.asarray(u8)[:nb]
+            else:
+                den = den_full[:nb]
             for j, (f, _) in enumerate(chunk):
                 print(f"\n----------------- {f.name} (device {j}) -----------------\n")
                 outpath = _collision_resolve(_initial_outpath(args, f))
                 if rldeblur:
-                    _encode_u8(host[j], outpath, quality)
-                elif outpath.suffix.lower() == ".tiff":
-                    imgio.save_img(np.asarray(den[j]).transpose(2, 0, 1),
-                                   str(outpath))
+                    write_one(f, outpath, host[j], is_u8=True)
                 else:
-                    _write_encoded(den[j], outpath, quality)
-                exif_mod.clone_exif(f, outpath, verbose=args.verbose)
+                    write_one(f, outpath, den[j], is_u8=False)
                 written.append(outpath)
     return written
 

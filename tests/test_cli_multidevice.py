@@ -96,15 +96,17 @@ def test_denoise_image_cli_sharded_uint16_out(tmp_path, ckpt):
 
 
 def test_denoise_cli_dir_batch_matches_serial(tmp_path, ckpt):
-    """Pipeline CLI directory mode: --devices 8 dispatches images
-    one-per-device; outputs must match the serial single-device run."""
+    """Pipeline CLI directory mode over 8 devices vs the serial run. The
+    workload covers BOTH multi-device strategies: 5 same-shape images
+    (5*2 > 8 -> image-per-device SPMD chunk with sharded per-device RL)
+    plus 1 odd-shaped image (1*2 <= 8 -> row-band tile sharding across the
+    whole mesh)."""
     from nind_denoise_tpu.pipeline import denoise_cli
 
     rng = np.random.default_rng(2)
     ind = tmp_path / "in"
     ind.mkdir()
-    # 3 same-shape images (one SPMD chunk) + 1 different shape (own chunk)
-    for i in range(3):
+    for i in range(5):
         _write_tif16(ind / f"img{i}.tif", rng)
     _write_tif16(ind / "odd.tif", rng, h=120, w=180)
 
@@ -121,13 +123,12 @@ def test_denoise_cli_dir_batch_matches_serial(tmp_path, ckpt):
 
     names = sorted(p.name for p in out_s.iterdir())
     assert names == sorted(p.name for p in out_b.iterdir())
-    assert len(names) == 4
+    assert len(names) == 6
     for n in names:
         a = cv2.imread(str(out_s / n), cv2.IMREAD_UNCHANGED)
         b = cv2.imread(str(out_b / n), cv2.IMREAD_UNCHANGED)
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
-        # serial path: bf16 engine compute; batch path: fp32 default —
-        # compare on the quantized uint8 output where both agree to 1 LSB
+        # all paths run bf16; compare the quantized uint8 output to 1 LSB
         assert diff.max() <= 1, (n, diff.max())
 
 
