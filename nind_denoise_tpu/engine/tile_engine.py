@@ -42,7 +42,7 @@ from jax import lax
 
 from ..core import tiles as tiles_mod
 from ..core.tiles import TilePlan, default_cs_ucs
-from . import transfer
+from . import device_stitch, transfer
 
 BUCKET = 512
 
@@ -102,27 +102,6 @@ class TileEngine:
     def _make_step(self):
         pad, ucs, cs, ol = self.pad, self.ucs, self.cs, self.ol
         prec = self.precision
-
-        def gather_one(padded, yx):
-            return lax.dynamic_slice(padded, (yx[0], yx[1], 0),
-                                     (cs, cs, padded.shape[2]))
-
-        def mask_one(spec):
-            """(6,) int32 [useful_h, useful_w, left, top, right, bottom]
-            -> (ucs, ucs, 1) fp32 feather/validity mask (core/tiles.py
-            weight_mask semantics, built on device)."""
-            h, w, left, top, right, bottom = (spec[i] for i in range(6))
-            r = lax.broadcasted_iota(jnp.int32, (ucs, ucs), 0)
-            c = lax.broadcasted_iota(jnp.int32, (ucs, ucs), 1)
-            m = ((r < h) & (c < w)).astype(jnp.float32)
-            half = jnp.float32(0.5)
-            one = jnp.float32(1.0)
-            m = m * jnp.where((left == 1) & (c < ol), half, one)
-            m = m * jnp.where((top == 1) & (r < ol), half, one)
-            m = m * jnp.where((right == 1) & (c >= w - ol) & (c < w), half, one)
-            m = m * jnp.where((bottom == 1) & (r >= h - ol) & (r < h), half, one)
-            return m[..., None]
-
         cdt = self.compute_dtype
 
         def step(params, canvas, band, inv_scale, gcoords, scoords, specs):
@@ -130,24 +109,21 @@ class TileEngine:
             dtype (a padded row band; normalization is fused here). gcoords
             (B, 2) int32 gather origins in the band frame; scoords (B, 2)
             int32 scatter origins in the canvas frame. specs (B, 6) int32
-            mask descriptors (zero row = dummy tile)."""
-            tiles = jax.vmap(lambda yx: gather_one(band, yx))(gcoords)
-            tiles = tiles.astype(cdt) * inv_scale.astype(cdt)
+            mask descriptors (zero row = dummy tile). Gather/mask/scatter
+            primitives are shared with the parallel engines
+            (engine/device_stitch.py) so the three cannot drift."""
+            norm = lambda p, t: self.apply_fn(p, t * inv_scale.astype(cdt))
             if prec == "float32":
-                with jax.default_matmul_precision("highest"):
-                    y = self.apply_fn(params, tiles)
-            else:
-                y = self.apply_fn(params, tiles)
-            masks = jax.vmap(mask_one)(specs)
-            slab = y[:, pad:pad + ucs, pad:pad + ucs, :].astype(jnp.float32) * masks
+                base = norm
 
-            def body(i, cv):
-                y0 = scoords[i, 0]
-                x0 = scoords[i, 1]
-                cur = lax.dynamic_slice(cv, (y0, x0, 0), (ucs, ucs, cv.shape[2]))
-                return lax.dynamic_update_slice(cv, cur + slab[i], (y0, x0, 0))
+                def norm(p, t):
+                    with jax.default_matmul_precision("highest"):
+                        return base(p, t)
 
-            return lax.fori_loop(0, gcoords.shape[0], body, canvas)
+            slabs = device_stitch.forward_round(
+                norm, params, band, gcoords, specs, cs=cs, ucs=ucs, pad=pad,
+                ol=ol, compute_dtype=cdt)
+            return device_stitch.scatter_add_slabs(canvas, slabs, scoords, ucs)
 
         return step
 
@@ -356,7 +332,14 @@ class TileEngine:
     def denoise_whole(self, img_chw: np.ndarray, pad: int = 0) -> np.ndarray:
         """Whole-image mode (reference --whole_image --pad,
         denoise_image.py:196-197): one forward at full size, side-mirror
-        padding with zero corners, crop back."""
+        padding with zero corners, crop back.
+
+        Compiles once per image size (memoized here; the persistent cache
+        makes cold sizes one-time per host). Bucketing is deliberately NOT
+        applied: replicate-padding to a bucket would enter the receptive
+        field of real border pixels and change the output. For bounded
+        per-chip memory at large sizes use the spatially-sharded forward
+        (parallel/spatial.py; --devices N on the CLI)."""
         if not hasattr(self, "_whole_jit"):
             self._whole_jit = jax.jit(self.apply_fn)  # memoized across calls
         padded = tiles_mod.whole_image_pad(img_chw, pad) if pad else img_chw.astype(np.float32)

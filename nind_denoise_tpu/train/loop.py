@@ -126,6 +126,13 @@ def build_parser():
                         "documents the same instability and prescribes "
                         "re-running (src/nind_denoise/README.md:140). "
                         "Default 0 = strict reference parity.")
+    p.add_argument("--coordinator", help="Multi-host pod: coordinator "
+                   "address host:port (or set JAX_COORDINATOR_ADDRESS). "
+                   "Joined EAGERLY at entry, before the first backend touch")
+    p.add_argument("--num_processes", type=int,
+                   help="Multi-host pod: total process count")
+    p.add_argument("--process_id", type=int,
+                   help="Multi-host pod: this process's index")
     return p
 
 
@@ -305,6 +312,15 @@ def main(argv=None):
     from . import steps
 
     args = build_parser().parse_args(argv)
+    # multi-host pods must initialize BEFORE the first backend touch (any
+    # jax.devices()/jit call latches the local backend and
+    # jax.distributed.initialize then raises — ADVICE r2; exercised by
+    # tests/test_multihost.py)
+    if args.coordinator or args.num_processes or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        pmesh.init_distributed(coordinator=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
     debug_options = [o for o in args.debug_options if o in DEBUG_OPTIONS]
 
     weights = {"SSIM": args.weight_SSIM or 0, "MSSSIM": args.weight_MSSSIM or 0,

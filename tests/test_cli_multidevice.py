@@ -152,3 +152,31 @@ def test_denoise_cli_dir_batch_nightmode_no_deblur(tmp_path, ckpt):
     for p in outs:
         x = imgio.load_img(str(p))
         assert x.shape == (3, 120, 160) and np.isfinite(x).all()
+
+
+def test_denoise_image_cli_sharded_unet(tmp_path):
+    """UNet (BN-state generator) through the sharded CLI path: the
+    resolve_apply_fn (params, state) handling must survive mesh
+    replication; 8-device output matches single-device."""
+    from nind_denoise_tpu.models.unet import UNet
+    from nind_denoise_tpu.pipeline import denoise_image_cli as dic
+
+    params, state = UNet.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "generator_unet_1.npz")
+    params_io.save({"params": params, "state": state}, ckpt)
+    rng = np.random.default_rng(3)
+    pin = tmp_path / "in.png"
+    _write_png16(pin, rng, h=150, w=200)
+    common = ["-i", str(pin), "--model_path", ckpt, "--network", "UNet",
+              "--cs", "128", "--ucs", "96",  # small tiles: CPU-sized UNet run
+              "--compute_dtype", "float32", "--precision", "float32",
+              "--exif_method", "noexif"]
+    o1, o8 = str(tmp_path / "o1.tiff"), str(tmp_path / "o8.tiff")
+    dic.run(dic.build_parser().parse_known_args_layered(
+        common + ["-o", o1, "--devices", "1"])[0])
+    dic.run(dic.build_parser().parse_known_args_layered(
+        common + ["-o", o8, "--devices", "8"])[0])
+    from nind_denoise_tpu.core import imgio
+
+    x1, x8 = imgio.load_img(o1), imgio.load_img(o8)
+    np.testing.assert_allclose(x8, x1, atol=2e-6)
