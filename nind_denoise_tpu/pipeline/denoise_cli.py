@@ -459,13 +459,6 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
     quality = args.quality or "90"
     rldeblur = not args.no_deblur
 
-    # decode + group by (shape, dtype): one compiled step per group shape
-    groups: dict = {}
-    for f in files:
-        raw, scale = imgio.load_img_raw(str(f))
-        groups.setdefault((raw.shape, str(raw.dtype), scale),
-                          []).append((f, raw))
-
     from ..parallel import batch_engine
     from ..parallel.sharded_engine import ShardedTileDenoiser
 
@@ -482,57 +475,72 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
         exif_mod.clone_exif(f, outpath, verbose=args.verbose)
 
     written = []
-    for (_, _, scale), members in groups.items():
-        for i0 in range(0, len(members), batcher.ndev):
-            chunk = members[i0:i0 + batcher.ndev]
-            if len(chunk) * 2 <= batcher.ndev:
-                # few images, many devices: row-band tile sharding uses the
-                # WHOLE mesh per image instead of idling ndev-B devices
-                if sharded is None:
-                    sharded = ShardedTileDenoiser(
-                        apply_fn, params, cs=cs, ucs=ucs,
-                        tiles_per_device=max(1, args.batch_size // ndev),
-                        compute_dtype="bfloat16", mesh=batcher.mesh)
-                for f, raw in chunk:
-                    print(f"\n----------------- {f.name} "
-                          f"(row-band x{ndev}) -----------------\n")
-                    outpath = _collision_resolve(_initial_outpath(args, f))
-                    out01 = sharded.denoise_hwc(
-                        raw.astype(np.float32) / scale)
-                    if rldeblur:
-                        _rl_array_to_file(out01, outpath, sigma,
-                                          int(iterations), quality,
-                                          verbose=args.verbose,
-                                          impl=args.rl_impl, psf=args.rl_psf)
-                        exif_mod.clone_exif(f, outpath, verbose=args.verbose)
-                    else:
-                        write_one(f, outpath, out01, is_u8=False)
-                    written.append(outpath)
-                continue
-            den_full, nb = batcher.denoise_batch(
-                np.stack([r for _, r in chunk]), scale,
-                keep_padded=True)  # (ndev, H, W, C) sharded
-            if rldeblur:
-                # per-device single-image RL under shard_map: on TPU each
-                # device runs the fused Pallas kernel on its own image
-                # (the plain 4-D batched call is XLA-only); then the gmic
-                # post-op + uint8 quantize, all still sharded, one fetch
-                u = batch_engine.rl_deblur_sharded(
-                    den_full, float(sigma), int(iterations), batcher.mesh,
-                    impl=args.rl_impl, psf=args.rl_psf)
-                u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
-                               ).astype(jnp.uint8)
-                host = np.asarray(u8)[:nb]
-            else:
-                den = den_full[:nb]
-            for j, (f, _) in enumerate(chunk):
-                print(f"\n----------------- {f.name} (device {j}) -----------------\n")
+
+    def process_chunk(chunk, scale):
+        nonlocal sharded
+        if len(chunk) * 2 <= batcher.ndev:
+            # few images, many devices: row-band tile sharding uses the
+            # WHOLE mesh per image instead of idling ndev-B devices
+            if sharded is None:
+                sharded = ShardedTileDenoiser(
+                    apply_fn, params, cs=cs, ucs=ucs,
+                    tiles_per_device=max(1, args.batch_size // ndev),
+                    compute_dtype="bfloat16", mesh=batcher.mesh)
+            for f, raw in chunk:
+                print(f"\n----------------- {f.name} "
+                      f"(row-band x{ndev}) -----------------\n")
                 outpath = _collision_resolve(_initial_outpath(args, f))
+                out01 = sharded.denoise_hwc(raw.astype(np.float32) / scale)
                 if rldeblur:
-                    write_one(f, outpath, host[j], is_u8=True)
+                    _rl_array_to_file(out01, outpath, sigma,
+                                      int(iterations), quality,
+                                      verbose=args.verbose,
+                                      impl=args.rl_impl, psf=args.rl_psf)
+                    exif_mod.clone_exif(f, outpath, verbose=args.verbose)
                 else:
-                    write_one(f, outpath, den[j], is_u8=False)
+                    write_one(f, outpath, out01, is_u8=False)
                 written.append(outpath)
+            return
+        den_full, nb = batcher.denoise_batch(
+            np.stack([r for _, r in chunk]), scale,
+            keep_padded=True)  # (ndev, H, W, C) sharded
+        if rldeblur:
+            # per-device single-image RL under shard_map: on TPU each
+            # device runs the fused Pallas kernel on its own image
+            # (the plain 4-D batched call is XLA-only); then the gmic
+            # post-op + uint8 quantize, all still sharded, one fetch
+            u = batch_engine.rl_deblur_sharded(
+                den_full, float(sigma), int(iterations), batcher.mesh,
+                impl=args.rl_impl, psf=args.rl_psf)
+            u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
+                           ).astype(jnp.uint8)
+            host = np.asarray(u8)[:nb]
+        else:
+            den = den_full[:nb]
+        for j, (f, _) in enumerate(chunk):
+            print(f"\n----------------- {f.name} (device {j}) -----------------\n")
+            outpath = _collision_resolve(_initial_outpath(args, f))
+            if rldeblur:
+                write_one(f, outpath, host[j], is_u8=True)
+            else:
+                write_one(f, outpath, den[j], is_u8=False)
+            written.append(outpath)
+
+    # STREAMING decode + group by (shape, dtype): files decode one at a
+    # time into per-shape pending lists; a list dispatches the moment it
+    # holds a full mesh chunk, so host memory is bounded at ~ndev decoded
+    # images per distinct shape (not the whole directory) and one compiled
+    # step serves each shape. Stragglers flush at the end (taking the
+    # row-band path when few).
+    pending: dict = {}
+    for f in files:
+        raw, scale = imgio.load_img_raw(str(f))
+        key = (raw.shape, str(raw.dtype), scale)
+        pending.setdefault(key, []).append((f, raw))
+        if len(pending[key]) == batcher.ndev:
+            process_chunk(pending.pop(key), scale)
+    for (_, _, scale), members in pending.items():
+        process_chunk(members, scale)
     return written
 
 
@@ -540,6 +548,12 @@ def main(argv=None):
     from ..utils import jaxcache
     jaxcache.enable()
     args = build_parser().parse_args(argv)
+    # multi-host pods: join BEFORE the first backend touch (ADVICE r2 —
+    # jax.distributed.initialize raises after any jax.devices()/jit call)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from ..parallel import mesh as pmesh
+
+        pmesh.init_distributed()
     input_path = pathlib.Path(args.raw_image)
     if input_path.is_dir():
         # reference parity: dir mode iterates the RAW extension list

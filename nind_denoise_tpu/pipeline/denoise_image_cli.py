@@ -282,6 +282,12 @@ def imgio_save_uint8(img_hwc: np.ndarray, path: str, quality: int = 95) -> None:
 def main(argv=None):
     from ..utils import jaxcache
     jaxcache.enable()
+    # multi-host pods: join BEFORE the first backend touch (ADVICE r2 —
+    # jax.distributed.initialize raises after any jax.devices()/jit call)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from ..parallel import mesh as pmesh
+
+        pmesh.init_distributed()
     from ..utils.log import maybe_profile
 
     args, _ = build_parser().parse_known_args_layered(argv)
