@@ -1,0 +1,255 @@
+"""denoise-serve — a persistent HTTP serving daemon around the warm engine.
+
+The reference's only invocation model is a fresh process per image
+(/root/reference/src/denoise.py __main__ and the Lua plugin shelling
+``python3 denoise.py`` per export, lua-scripts/nind_denoise_rl.lua:330-465),
+which pays interpreter start, model load, and XLA compile every time. For
+production serving the engine wants to stay warm: compiled tile programs
+are reusable across requests (engine/tile_engine bucketing), parameters
+stay device-resident, and the persistent compile cache covers restarts.
+
+Design:
+
+* stdlib ``http.server`` — zero new dependencies.
+* ALL device work runs on ONE dispatcher thread consuming a request queue
+  (HTTP handler threads enqueue and wait). This is correct under the
+  dev tunnel's single-dispatcher discipline (CLAUDE.md transfers rule) and
+  is the sane serialization for a single accelerator in production; batch
+  formation across requests can extend this later.
+* Multi-device hosts serve each request through the row-band sharded
+  engine (parallel/sharded_engine) — same auto-engagement as the CLIs.
+
+Endpoints:
+
+* ``GET  /healthz``            -> {"status": "ok", "devices": N, ...}
+* ``GET  /stats``              -> request counters + timing
+* ``POST /denoise``            -> body: encoded image (png/jpg/tiff bytes);
+  query params: ``output`` (jpg|png|tiff, default jpg), ``quality`` (jpeg,
+  default 90), ``rl`` (1|0, default 1 — RL-deblur like the pipeline),
+  ``sigma``, ``iterations``, ``psf``. Response: encoded output bytes.
+
+egrun:
+    python -m nind_denoise_tpu.pipeline.serve --model_path ckpt.npz \
+        --network UtNet --port 8601
+    curl -X POST --data-binary @noisy.png \
+        'http://localhost:8601/denoise?output=png' > out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class DenoiseService:
+    """Warm engine + single dispatcher thread; thread-safe submit()."""
+
+    def __init__(self, network: str, model_path: str, cs=None, ucs=None,
+                 activation: str = "PReLU", batch_size: int = 8,
+                 compute_dtype: str = "bfloat16", devices=None):
+        import jax
+
+        from ..core.tiles import default_cs_ucs
+        from ..engine.tile_engine import make_engine, resolve_apply_fn
+        from ..models import params_io
+
+        self.ndev = devices or jax.device_count()
+        params, state = params_io.load_generator(model_path, network)
+        if network == "UNet":
+            params = (params, state)
+        if cs is None or ucs is None:
+            cs, ucs = default_cs_ucs(network)
+        self.cs, self.ucs = cs, ucs
+        if self.ndev > 1:
+            from ..parallel import mesh as pmesh
+            from ..parallel.sharded_engine import ShardedTileDenoiser
+
+            apply_fn, params = resolve_apply_fn(network, params, activation)
+            sharded = ShardedTileDenoiser(
+                apply_fn, params, cs=cs, ucs=ucs,
+                tiles_per_device=max(1, batch_size // self.ndev),
+                compute_dtype=compute_dtype, mesh=pmesh.make_mesh(self.ndev))
+            self._denoise01 = lambda img01: sharded.denoise_hwc(img01)
+        else:
+            engine = make_engine(network, params, cs=cs, ucs=ucs,
+                                 activation=activation, batch_size=batch_size,
+                                 compute_dtype=compute_dtype)
+            self._denoise01 = lambda img01: engine.denoise_raw(
+                np.ascontiguousarray(img01), 1.0, out_dtype="float32")
+        self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
+                      "busy_s": 0.0}
+        self._q: queue.Queue = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- dispatcher ----------------------------------------------------------
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            fn, done = job
+            try:
+                done["result"] = fn()
+            except Exception as e:  # reported to the requesting thread
+                done["error"] = e
+            done["event"].set()
+
+    def submit(self, fn):
+        done = {"event": threading.Event()}
+        self._q.put((fn, done))
+        done["event"].wait()
+        if "error" in done:
+            raise done["error"]
+        return done["result"]
+
+    def close(self):
+        self._q.put(None)
+
+    # -- request body --------------------------------------------------------
+
+    def denoise_bytes(self, data: bytes, output: str = "jpg",
+                      quality: int = 90, rl: bool = True, sigma: float = 1.0,
+                      iterations: int = 10, psf: str = "gaussian") -> bytes:
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(data, np.uint8),
+                           cv2.IMREAD_COLOR + cv2.IMREAD_ANYDEPTH)
+        if arr is None:
+            raise ValueError("could not decode request body as an image")
+        scale = {np.uint8: 255.0, np.uint16: 65535.0}.get(arr.dtype.type, 1.0)
+        img01 = arr[..., ::-1].astype(np.float32) / scale
+
+        def work():
+            t0 = time.perf_counter()
+            out01 = self._denoise01(img01)
+            if rl:
+                from ..ops import rl_deblur
+
+                u8 = rl_deblur.rl_deblur_to_uint8(
+                    np.clip(out01, 0, None), sigma, iterations, psf=psf)
+            else:
+                u8 = np.round(np.clip(out01, 0, 1) * 255).astype(np.uint8)
+            self.stats["busy_s"] += time.perf_counter() - t0
+            self.stats["megapixels"] += img01.shape[0] * img01.shape[1] / 1e6
+            return u8
+
+        u8 = self.submit(work)
+        bgr = u8[..., ::-1]
+        if output in ("jpg", "jpeg"):
+            ok, buf = cv2.imencode(".jpg", bgr,
+                                   [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
+        elif output == "png":
+            ok, buf = cv2.imencode(".png", bgr)
+        elif output == "tiff":
+            ok, buf = cv2.imencode(".tiff", bgr)
+        else:
+            raise ValueError(f"unsupported output format {output!r}")
+        if not ok:
+            raise RuntimeError(f"encode to {output} failed")
+        return buf.tobytes()
+
+
+def make_handler(svc: DenoiseService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {"status": "ok", "devices": svc.ndev,
+                                 "cs": svc.cs, "ucs": svc.ucs})
+            elif path == "/stats":
+                self._json(200, svc.stats)
+            else:
+                self._json(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/denoise":
+                return self._json(404, {"error": "unknown endpoint"})
+            q = urllib.parse.parse_qs(parsed.query)
+            get = lambda k, d: q.get(k, [d])[0]
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            svc.stats["requests"] += 1
+            try:
+                out = svc.denoise_bytes(
+                    data, output=get("output", "jpg"),
+                    quality=int(get("quality", "90")),
+                    rl=get("rl", "1") not in ("0", "false"),
+                    sigma=float(get("sigma", "1")),
+                    iterations=int(get("iterations", "10")),
+                    psf=get("psf", "gaussian"))
+            except Exception as e:
+                svc.stats["errors"] += 1
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            ctype = {"jpg": "image/jpeg", "jpeg": "image/jpeg",
+                     "png": "image/png", "tiff": "image/tiff"}[
+                         get("output", "jpg")]
+            self._send(200, out, ctype)
+
+    return Handler
+
+
+def serve(svc: DenoiseService, host: str = "127.0.0.1", port: int = 8601):
+    httpd = ThreadingHTTPServer((host, port), make_handler(svc))
+    return httpd
+
+
+def main(argv=None):
+    from ..utils import jaxcache
+    jaxcache.enable()
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--network", default="UtNet")
+    ap.add_argument("--cs", type=int)
+    ap.add_argument("--ucs", type=int)
+    ap.add_argument("--activation", default="PReLU")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--devices", type=int)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8601)
+    args = ap.parse_args(argv)
+
+    svc = DenoiseService(args.network, args.model_path, cs=args.cs,
+                         ucs=args.ucs, activation=args.activation,
+                         batch_size=args.batch_size,
+                         compute_dtype=args.compute_dtype,
+                         devices=args.devices)
+    httpd = serve(svc, args.host, args.port)
+    print(f"denoise-serve: listening on http://{args.host}:{args.port} "
+          f"({svc.ndev} device(s), cs={svc.cs}/ucs={svc.ucs})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        svc.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Serving daemon (pipeline/serve.py): warm-engine HTTP service.
+
+Starts the real server on a loopback port (background thread), drives it
+with urllib, and checks the response bytes decode to the same result the
+engine produces directly. The single-dispatcher queue is exercised with
+concurrent requests.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from nind_denoise_tpu.models import params_io
+from nind_denoise_tpu.models.utnet import UtNet
+from nind_denoise_tpu.pipeline import serve as serve_mod
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srv")
+    ckpt = str(d / "generator_1.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=8), ckpt)
+    svc = serve_mod.DenoiseService("UtNet", ckpt, cs=104, ucs=88,
+                                   compute_dtype="float32", devices=1)
+    httpd = serve_mod.serve(svc, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield svc, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    svc.close()
+
+
+def _png_bytes(img_u16):
+    import cv2
+
+    ok, buf = cv2.imencode(".png", img_u16[..., ::-1])
+    assert ok
+    return buf.tobytes()
+
+
+def test_healthz_and_stats(server):
+    svc, base = server
+    h = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    assert h["status"] == "ok" and h["devices"] == 1 and h["cs"] == 104
+    s = json.loads(urllib.request.urlopen(base + "/stats").read())
+    assert {"requests", "errors", "megapixels"} <= set(s)
+
+
+def test_denoise_roundtrip_matches_engine(server):
+    svc, base = server
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 65536, (120, 150, 3), dtype=np.uint16)
+    req = urllib.request.Request(
+        base + "/denoise?output=png&rl=0", data=_png_bytes(img),
+        method="POST")
+    body = urllib.request.urlopen(req).read()
+    got = cv2.imdecode(np.frombuffer(body, np.uint8),
+                       cv2.IMREAD_UNCHANGED)[..., ::-1]
+    # direct engine result through the same service internals
+    want_f = svc._denoise01(img.astype(np.float32) / 65535.0)
+    want = np.round(np.clip(want_f, 0, 1) * 255).astype(np.uint8)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+
+
+def test_denoise_with_rl(server):
+    svc, base = server
+    import cv2
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 65536, (104, 120, 3), dtype=np.uint16)
+    req = urllib.request.Request(
+        base + "/denoise?output=jpg&iterations=2&quality=95",
+        data=_png_bytes(img), method="POST")
+    body = urllib.request.urlopen(req).read()
+    out = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_UNCHANGED)
+    assert out is not None and out.shape == (104, 120, 3)
+
+
+def test_concurrent_requests_serialize(server):
+    """N handler threads funnel through the one dispatcher; all succeed."""
+    svc, base = server
+    rng = np.random.default_rng(2)
+    payload = _png_bytes(rng.integers(0, 65536, (104, 104, 3),
+                                      dtype=np.uint16))
+    results = []
+
+    def hit():
+        req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                     data=payload, method="POST")
+        results.append(urllib.request.urlopen(req).status)
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200, 200, 200, 200]
+
+
+def test_bad_body_is_400(server):
+    svc, base = server
+    req = urllib.request.Request(base + "/denoise", data=b"not an image",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
