@@ -77,13 +77,23 @@ class DenoiseService:
                 apply_fn, params, cs=cs, ucs=ucs,
                 tiles_per_device=max(1, batch_size // self.ndev),
                 compute_dtype=compute_dtype, mesh=pmesh.make_mesh(self.ndev))
-            self._denoise01 = lambda img01: sharded.denoise_hwc(img01)
+            # multi-chip hosts have fast PCIe + many cores: host fp32 is fine
+            self._denoise_raw = lambda raw, scale: sharded.denoise_hwc(
+                raw.astype(np.float32) / scale)
         else:
             engine = make_engine(network, params, cs=cs, ucs=ucs,
                                  activation=activation, batch_size=batch_size,
                                  compute_dtype=compute_dtype)
-            self._denoise01 = lambda img01: engine.denoise_raw(
-                np.ascontiguousarray(img01), 1.0, out_dtype="float32")
+            # storage-dtype feed + DEVICE-resident result: the [0,1]
+            # normalization fuses into the tile program, and RL runs
+            # without an intermediate host round-trip (the denoise_cli
+            # fast-path design; measured 0.27 -> ~1.5 MP/s steady-state
+            # on the tunnel for a 3 MP request)
+            self._denoise_raw = lambda raw, scale: engine.denoise_raw(
+                raw, scale, out_dtype="device")
+        # backwards-compat hook used by tests
+        self._denoise01 = lambda img01: np.asarray(
+            self._denoise_raw(np.ascontiguousarray(img01, np.float32), 1.0))
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
                       "busy_s": 0.0}
         self._q: queue.Queue = queue.Queue()
@@ -127,20 +137,29 @@ class DenoiseService:
         if arr is None:
             raise ValueError("could not decode request body as an image")
         scale = {np.uint8: 255.0, np.uint16: 65535.0}.get(arr.dtype.type, 1.0)
-        img01 = arr[..., ::-1].astype(np.float32) / scale
+        raw = np.ascontiguousarray(arr[..., ::-1])
 
         def work():
+            import jax.numpy as jnp
+
+            from ..engine import transfer
+
             t0 = time.perf_counter()
-            out01 = self._denoise01(img01)
+            out01 = self._denoise_raw(raw, scale)  # device (or host) fp32
             if rl:
                 from ..ops import rl_deblur
 
-                u8 = rl_deblur.rl_deblur_to_uint8(
-                    np.clip(out01, 0, None), sigma, iterations, psf=psf)
+                u = rl_deblur.rl_deblur(
+                    jnp.clip(jnp.asarray(out01, jnp.float32), 0, None),
+                    float(sigma), int(iterations), psf=psf)
+                dev_u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
+                                   ).astype(jnp.uint8)
             else:
-                u8 = np.round(np.clip(out01, 0, 1) * 255).astype(np.uint8)
+                dev_u8 = jnp.round(jnp.clip(jnp.asarray(out01), 0, 1) * 255
+                                   ).astype(jnp.uint8)
+            u8 = transfer.fast_get(dev_u8)
             self.stats["busy_s"] += time.perf_counter() - t0
-            self.stats["megapixels"] += img01.shape[0] * img01.shape[1] / 1e6
+            self.stats["megapixels"] += raw.shape[0] * raw.shape[1] / 1e6
             return u8
 
         u8 = self.submit(work)
@@ -184,6 +203,8 @@ def make_handler(svc: DenoiseService):
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
+        MAX_BODY = 512 * 1024 * 1024  # 512 MB: beyond any supported image
+
         def do_POST(self):
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path != "/denoise":
@@ -191,6 +212,8 @@ def make_handler(svc: DenoiseService):
             q = urllib.parse.parse_qs(parsed.query)
             get = lambda k, d: q.get(k, [d])[0]
             length = int(self.headers.get("Content-Length", 0))
+            if length <= 0 or length > self.MAX_BODY:
+                return self._json(413, {"error": f"bad body size {length}"})
             data = self.rfile.read(length)
             svc.stats["requests"] += 1
             try:

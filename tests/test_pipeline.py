@@ -190,3 +190,29 @@ def test_collision_naming(tmp_path, tiny_checkpoint):
     denoise_cli.main(argv)  # second run must get the _1 suffix
     names = sorted(p.name for p in out_dir.iterdir())
     assert names == ["c.jpg", "c_1.jpg"], names
+
+
+def test_cli_rl_psf_gmic_fast(tmp_path, tiny_checkpoint):
+    """--rl-psf gmic_fast plumbs through the fast path: output differs from
+    the gaussian-PSF default (distinct deconvolutions) but stays a valid
+    image."""
+    import cv2
+
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((120, 150, 3)) * 65535).astype(np.uint16)
+    tif = tmp_path / "in.tif"
+    cv2.imwrite(str(tif), img[..., ::-1])
+    outs = {}
+    for psf in ("gaussian", "gmic_fast"):
+        outd = tmp_path / psf
+        outd.mkdir()
+        denoise_cli.main([str(tif), "--tiff-input", "-o", str(outd),
+                          "-e", "png", "--model_path", tiny_checkpoint,
+                          "--cs", "104", "--ucs", "88", "--iterations", "2",
+                          "--rl-psf", psf, "--devices", "1"])
+        outs[psf] = cv2.imread(str(outd / "in.png"), cv2.IMREAD_UNCHANGED)
+        assert outs[psf] is not None
+    assert np.abs(outs["gaussian"].astype(np.int32)
+                  - outs["gmic_fast"].astype(np.int32)).max() > 0
