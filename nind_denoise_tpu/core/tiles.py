@@ -227,6 +227,47 @@ class TilePlan:
         return canvas[:self.H, :self.W]
 
 
+def adapt_cs_ucs(height: int, width: int, cs: int, ucs: int,
+                 ol: int = DEFAULT_OVERLAP, check=None) -> Tuple[int, int]:
+    """(cs, ucs) that actually fit the image.
+
+    TilePlan's one-shot symmetric pad cannot exceed the image
+    (pad_bottom/right <= H/W), so the per-arch default tiling (UtNet
+    504/480) rejects images below ~246 px — the reference would crash the
+    same way (its per-tile ``np.flip`` mirror needs pad <= size,
+    denoise_image.py:151-170). Returns the configured pair when valid,
+    else the largest smaller tile with the same receptive pad that both
+    fits and passes the arch's size formula (``check``, e.g.
+    ``UtNet.check_cs``). Raises ValueError when nothing fits."""
+    pad2 = cs - ucs  # preserve the receptive pad
+    def fits(c):
+        try:
+            TilePlan(height, width, c, c - pad2, ol)
+            return True
+        except ValueError:
+            return False
+
+    def arch_ok(c):
+        if check is None:
+            return True
+        try:
+            check(c)
+            return True
+        except ValueError:
+            return False
+
+    if arch_ok(cs) and fits(cs):
+        return cs, ucs
+    for c in range(cs - 8, pad2 + ol, -8):
+        if c - pad2 <= ol:
+            break
+        if arch_ok(c) and fits(c):
+            return c, c - pad2
+    raise ValueError(
+        f"adapt_cs_ucs: image {height}x{width} too small for any tiling "
+        f"derived from cs={cs}/ucs={ucs}")
+
+
 def whole_image_pad(img_chw: np.ndarray, pad: int) -> np.ndarray:
     """Whole-image mode padding (OneImageDS whole_image branch,
     denoise_image.py:110-128): mirror the four sides, leave corners zero."""

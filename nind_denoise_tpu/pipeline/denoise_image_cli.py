@@ -146,11 +146,12 @@ def _run_sharded(args, ndev: int) -> None:
             with jax.default_matmul_precision("highest"):
                 return base_fn(p, x)
 
+    img = imgio.load_img(args.input)  # (3, H, W) fp32 [0,1]
+    cs, ucs = _adapt_tiles(args, img.shape[1], img.shape[2])
     sharded = ShardedTileDenoiser(
-        apply_fn, params, cs=args.cs, ucs=args.ucs, ol=args.overlap,
+        apply_fn, params, cs=cs, ucs=ucs, ol=args.overlap,
         tiles_per_device=max(1, args.batch_size // ndev),
         compute_dtype=args.compute_dtype, mesh=pmesh.make_mesh(ndev))
-    img = imgio.load_img(args.input)  # (3, H, W) fp32 [0,1]
     out = sharded.denoise_hwc(np.ascontiguousarray(img.transpose(1, 2, 0)))
     _save_float_hwc(out, args.output, quality=args.quality)
     print(f"Denoised image written to {args.output} "
@@ -183,6 +184,21 @@ def _run_whole_spatial(args, ndev: int) -> None:
     _save_float_hwc(y, args.output, quality=args.quality)
     print(f"Denoised image written to {args.output} "
           f"({ndev}-device spatial sharding, whole image)")
+
+
+def _adapt_tiles(args, height: int, width: int):
+    """Shrink (cs, ucs) for small images (core/tiles.adapt_cs_ucs); the
+    reference crashes below ~246 px with UtNet's 504/480 defaults."""
+    from ..core import tiles as tiles_mod
+    from ..models import get_network
+
+    check = getattr(get_network(args.g_network), "check_cs", None)
+    cs, ucs = tiles_mod.adapt_cs_ucs(height, width, args.cs, args.ucs,
+                                     args.overlap, check)
+    if (cs, ucs) != (args.cs, args.ucs):
+        print(f"Image {width}x{height} too small for cs={args.cs}/"
+              f"ucs={args.ucs}; using cs={cs}, ucs={ucs}")
+    return cs, ucs
 
 
 def _save_float_hwc(out_hwc: np.ndarray, path: str, quality: int = 95) -> None:
@@ -226,16 +242,19 @@ def run(args) -> str:
     params, state, activation = load_generator_params(args)
     if args.g_network == "UNet":
         params = (params, state)
-    engine = make_engine(args.g_network, params, cs=args.cs, ucs=args.ucs,
-                         activation=activation, ol=args.overlap,
-                         batch_size=args.batch_size,
-                         compute_dtype=args.compute_dtype,
-                         precision=args.precision,
-                         max_subpixels=args.max_subpixels,
-                         debug_dir="dbg" if args.debug else None)
+
+    def build_engine(cs, ucs):
+        return make_engine(args.g_network, params, cs=cs, ucs=ucs,
+                           activation=activation, ol=args.overlap,
+                           batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype,
+                           precision=args.precision,
+                           max_subpixels=args.max_subpixels,
+                           debug_dir="dbg" if args.debug else None)
 
     start_time = time.time()
     if args.whole_image:
+        engine = build_engine(args.cs, args.ucs)
         img = imgio.load_img(args.input)
         out_chw = engine.denoise_whole(img, pad=args.pad or 0)
         imgio.save_img(out_chw, args.output)
@@ -245,6 +264,8 @@ def run(args) -> str:
         # divide + transpose, and uint16 uploads are exact vs the f32->f16
         # wire cast)
         raw, scale = imgio.load_img_raw(args.input)
+        cs, ucs = _adapt_tiles(args, raw.shape[0], raw.shape[1])
+        engine = build_engine(cs, ucs)
         ext = os.path.splitext(args.output)[1].lower()
         # quantize on device to minimize the downlink (engine docstring)
         if ext in (".png", ".tif"):

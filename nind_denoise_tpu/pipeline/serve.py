@@ -58,7 +58,6 @@ class DenoiseService:
         import jax
 
         from ..core.tiles import default_cs_ucs
-        from ..engine.tile_engine import make_engine, resolve_apply_fn
         from ..models import params_io
 
         self.ndev = devices or jax.device_count()
@@ -68,37 +67,70 @@ class DenoiseService:
         if cs is None or ucs is None:
             cs, ucs = default_cs_ucs(network)
         self.cs, self.ucs = cs, ucs
-        if self.ndev > 1:
-            from ..parallel import mesh as pmesh
-            from ..parallel.sharded_engine import ShardedTileDenoiser
+        self._network, self._params = network, params
+        self._activation, self._batch_size = activation, batch_size
+        self._compute_dtype = compute_dtype
+        self._engines: dict = {}
+        self._check_cs = None
+        from ..models import get_network
 
-            apply_fn, params = resolve_apply_fn(network, params, activation)
-            sharded = ShardedTileDenoiser(
-                apply_fn, params, cs=cs, ucs=ucs,
-                tiles_per_device=max(1, batch_size // self.ndev),
-                compute_dtype=compute_dtype, mesh=pmesh.make_mesh(self.ndev))
-            # multi-chip hosts have fast PCIe + many cores: host fp32 is fine
-            self._denoise_raw = lambda raw, scale: sharded.denoise_hwc(
-                raw.astype(np.float32) / scale)
-        else:
-            engine = make_engine(network, params, cs=cs, ucs=ucs,
-                                 activation=activation, batch_size=batch_size,
-                                 compute_dtype=compute_dtype)
-            # storage-dtype feed + DEVICE-resident result: the [0,1]
-            # normalization fuses into the tile program, and RL runs
-            # without an intermediate host round-trip (the denoise_cli
-            # fast-path design; measured 0.27 -> ~1.5 MP/s steady-state
-            # on the tunnel for a 3 MP request)
-            self._denoise_raw = lambda raw, scale: engine.denoise_raw(
-                raw, scale, out_dtype="device")
-        # backwards-compat hook used by tests
-        self._denoise01 = lambda img01: np.asarray(
-            self._denoise_raw(np.ascontiguousarray(img01, np.float32), 1.0))
+        self._check_cs = getattr(get_network(network), "check_cs", None)
+        self._engine_for_cs(cs, ucs)  # warm the default engine eagerly
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
                       "busy_s": 0.0}
         self._q: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _engine_for_cs(self, cs: int, ucs: int):
+        """Engine (or sharded denoiser) per tile size, cached — small
+        requests get an adapted tiling instead of a TilePlan error."""
+        key = (cs, ucs)
+        if key in self._engines:
+            return self._engines[key]
+        from ..engine.tile_engine import make_engine, resolve_apply_fn
+
+        if self.ndev > 1:
+            from ..parallel import mesh as pmesh
+            from ..parallel.sharded_engine import ShardedTileDenoiser
+
+            apply_fn, params = resolve_apply_fn(
+                self._network, self._params, self._activation)
+            sharded = ShardedTileDenoiser(
+                apply_fn, params, cs=cs, ucs=ucs,
+                tiles_per_device=max(1, self._batch_size // self.ndev),
+                compute_dtype=self._compute_dtype,
+                mesh=pmesh.make_mesh(self.ndev))
+            # multi-chip hosts have fast PCIe + many cores: host fp32 is fine
+            fn = lambda raw, scale: sharded.denoise_hwc(
+                raw.astype(np.float32) / scale)
+        else:
+            engine = make_engine(self._network, self._params, cs=cs, ucs=ucs,
+                                 activation=self._activation,
+                                 batch_size=self._batch_size,
+                                 compute_dtype=self._compute_dtype)
+            # storage-dtype feed + DEVICE-resident result: the [0,1]
+            # normalization fuses into the tile program, and RL runs
+            # without an intermediate host round-trip (the denoise_cli
+            # fast-path design; measured 0.27 -> 1.67 MP/s steady-state
+            # on the tunnel for a 3 MP request)
+            fn = lambda raw, scale: engine.denoise_raw(
+                raw, scale, out_dtype="device")
+        self._engines[key] = fn
+        return fn
+
+    def _denoise_raw(self, raw: np.ndarray, scale: float):
+        from ..core import tiles as tiles_mod
+
+        cs, ucs = tiles_mod.adapt_cs_ucs(raw.shape[0], raw.shape[1],
+                                         self.cs, self.ucs,
+                                         check=self._check_cs)
+        return self._engine_for_cs(cs, ucs)(raw, scale)
+
+    # backwards-compat hook used by tests
+    def _denoise01(self, img01: np.ndarray) -> np.ndarray:
+        return np.asarray(self._denoise_raw(
+            np.ascontiguousarray(img01, np.float32), 1.0))
 
     # -- dispatcher ----------------------------------------------------------
 

@@ -180,3 +180,22 @@ def test_denoise_image_cli_sharded_unet(tmp_path):
 
     x1, x8 = imgio.load_img(o1), imgio.load_img(o8)
     np.testing.assert_allclose(x8, x1, atol=2e-6)
+
+
+def test_small_image_default_tiling_adapts(tmp_path, ckpt):
+    """denoise_image_cli with the UtNet DEFAULT tiling (504/480) on a small
+    image: core/tiles.adapt_cs_ucs shrinks the tile instead of raising
+    (the reference crashes below ~246 px)."""
+    from nind_denoise_tpu.pipeline import denoise_image_cli as dic
+
+    rng = np.random.default_rng(9)
+    pin = tmp_path / "small.png"
+    _write_png16(pin, rng, h=150, w=180)
+    out = str(tmp_path / "out.tiff")
+    ns = dic.build_parser().parse_known_args_layered(
+        ["-i", str(pin), "-o", out, "--model_path", ckpt,
+         "--network", "UtNet", "--compute_dtype", "float32",
+         "--exif_method", "noexif", "--devices", "1"])[0]
+    dic.run(ns)  # default cs/ucs resolve to 504/480 -> must adapt, not raise
+    x = imgio.load_img(out)
+    assert x.shape == (3, 150, 180) and np.isfinite(x).all()

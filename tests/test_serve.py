@@ -113,3 +113,20 @@ def test_bad_body_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_small_image_served(server):
+    """A request smaller than the tile size must still succeed (single-tile
+    plan; the per-request adapt_cs_ucs guard keeps even the 504/480
+    production default from raising — that path is asserted against the
+    real CLI defaults in test_cli_multidevice.py)."""
+    svc, base = server
+    import cv2
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 65536, (64, 72, 3), dtype=np.uint16)
+    req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                 data=_png_bytes(img), method="POST")
+    body = urllib.request.urlopen(req).read()
+    out = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_UNCHANGED)
+    assert out is not None and out.shape == (64, 72, 3)
