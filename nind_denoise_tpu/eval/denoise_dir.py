@@ -43,6 +43,9 @@ def build_parser():
     p.add_argument("--orig_data")
     p.add_argument("--models_dpath")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--devices", type=int,
+                   help="Shard tiles over this many devices (row-band "
+                        "sharded engine). Default: all visible when >1")
     return p
 
 
@@ -84,9 +87,35 @@ def main(argv=None):
     params, state, activation = denoise_image_cli.load_generator_params(args)
     if args.g_network == "UNet":
         params = (params, state)
-    engine = make_engine(args.g_network, params, cs=args.cs, ucs=args.ucs,
-                         activation=activation, batch_size=args.batch_size,
-                         max_subpixels=args.max_subpixels)
+    import jax
+    import numpy as np
+
+    ndev = args.devices or jax.device_count()
+    if ndev > 1 and not args.whole_image:
+        # multi-device hosts: row-band tile sharding per image (same
+        # auto-engagement as the product CLIs)
+        from ..engine.tile_engine import resolve_apply_fn
+        from ..parallel import mesh as pmesh
+        from ..parallel.sharded_engine import ShardedTileDenoiser
+
+        apply_fn, sh_params = resolve_apply_fn(args.g_network, params,
+                                               activation)
+        sh = ShardedTileDenoiser(
+            apply_fn, sh_params, cs=args.cs, ucs=args.ucs,
+            tiles_per_device=max(1, args.batch_size // ndev),
+            compute_dtype="bfloat16", mesh=pmesh.make_mesh(ndev))
+        engine = None
+
+        def denoise_u16(raw, scale):
+            out01 = sh.denoise_hwc(raw.astype(np.float32) / scale)
+            return np.round(np.clip(out01, 0, 1) * 65535).astype(np.uint16)
+    else:
+        engine = make_engine(args.g_network, params, cs=args.cs, ucs=args.ucs,
+                             activation=activation, batch_size=args.batch_size,
+                             max_subpixels=args.max_subpixels)
+
+        def denoise_u16(raw, scale):
+            return engine.denoise_raw(raw, scale, out_dtype="uint16")
 
     # decode-ahead: the next image decodes on a worker thread while the
     # current one runs on the device (the reference re-spawned a python
@@ -125,7 +154,7 @@ def main(argv=None):
                     imgio.save_img(out, out_fpath)
                 else:
                     # storage dtype straight to the streaming engine
-                    out = engine.denoise_raw(raw, scale, out_dtype="uint16")
+                    out = denoise_u16(raw, scale)
                     denoise_image_cli.imgio_save_uint16(out, out_fpath)
             cur = score.get_losses(baseline, out_fpath)
             print(f"in: {in_fpath}, out: {out_fpath}, clean: {baseline}")

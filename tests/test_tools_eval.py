@@ -69,7 +69,10 @@ def test_get_baseline(scene_dir):
     assert b.endswith("ISO100.png")
 
 
-def test_denoise_dir_end_to_end(scene_dir, tmp_path):
+@pytest.mark.parametrize("devices", ["1", "8"])
+def test_denoise_dir_end_to_end(scene_dir, tmp_path, devices):
+    """devices=8: the eval harness auto-engages row-band tile sharding on
+    the virtual mesh (same engagement as the product CLIs)."""
     import jax
 
     from nind_denoise_tpu.eval import denoise_dir
@@ -85,7 +88,7 @@ def test_denoise_dir_end_to_end(scene_dir, tmp_path):
         "--network", "UtNet", "--cs", "104", "--ucs", "88",
         "--noisy_dir", scene_dir,
         "--result_dir", str(tmp_path / "results"),
-        "--batch_size", "2", "--no_scoring",
+        "--batch_size", "2", "--no_scoring", "--devices", devices,
     ])
     assert set(overall) == {"mse", "ssim", "msssim"}
     assert all(np.isfinite(v) for v in overall.values())
