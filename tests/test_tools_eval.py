@@ -150,3 +150,34 @@ def test_pinned_nind_manifest():
     assert reserve <= scenes
     # per-scene dirs + filename layout round-trips through scene_of
     assert dl_ds.scene_of("NIND_MuseeL-Bobo-C500D_ISOH1.jpg") == "MuseeL-Bobo-C500D"
+
+
+def test_convert_checkpoint(tmp_path):
+    """torch .pt -> .npz conversion CLI: the converted file loads without
+    torch-import machinery and matches the direct-torch-load params
+    bit-for-bit."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    from test_models_parity import build_torch_utnet
+
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.tools import convert_checkpoint
+
+    torch.manual_seed(0)
+    model = build_torch_utnet(funit=2)
+    pt = str(tmp_path / "generator_7.pt")
+    torch.save(model.state_dict(), pt)
+    npz = convert_checkpoint.main([pt, "--network", "UtNet"])
+    assert npz.endswith(".npz") and os.path.isfile(npz)
+    direct, _ = params_io.load_generator(pt, "UtNet")
+    converted, state = params_io.load_generator(npz, "UtNet")
+    assert state is None
+    la = jax.tree_util.tree_leaves(direct)
+    lb = jax.tree_util.tree_leaves(converted)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
