@@ -54,7 +54,8 @@ def _build_torch_model(funit: int):
 def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 3) -> float:
     """torch-CPU UtNet MP/s on one tile (median of ``reps`` runs, cached)."""
     cache = _load_baseline_cache()
-    if cache.get("reps", 0) >= reps and "cpu_mps" in cache:
+    if cache.get("reps", 0) >= reps and "cpu_mps" in cache \
+            and cache.get("funit") == funit:
         return cache["cpu_mps"]
     import statistics
 
@@ -141,9 +142,10 @@ def measure_cpu_pipeline_mps(funit: int = 64) -> float:
     minutes every cold round). Serves as the CPU reference for BOTH the
     pipeline and nightmode rows: without darktable the per-image work of
     the two configs is identical. Cached."""
+    key = f"pipeline_cpu_mps_f{funit}"
     cache = _load_baseline_cache()
-    if "pipeline_cpu_mps" in cache:
-        return cache["pipeline_cpu_mps"]
+    if key in cache:
+        return cache[key]
     import tempfile
 
     import cv2
@@ -185,8 +187,8 @@ def measure_cpu_pipeline_mps(funit: int = 64) -> float:
         run_once()
         dt = time.perf_counter() - t0
     mps = (h * w / 1e6) / dt
-    cache["pipeline_cpu_mps"] = mps
-    cache["nightmode_cpu_mps"] = mps  # identical per-image work on CPU
+    cache[key] = mps
+    cache[f"nightmode_cpu_mps_f{funit}"] = mps  # same per-image work on CPU
     _save_baseline_cache(cache)
     return mps
 
@@ -196,9 +198,10 @@ def measure_cpu_train_crops_s(funit: int = 64, bs: int = 30,
     """torch-CPU UtNet-std training step (bs=30, cs=184, MS-SSIM loss via
     the independent torch oracle, Adam-amsgrad) — one warm measured step,
     crops/s. Cached (a single step takes ~minutes on this 1-core host)."""
+    key = f"train_cpu_crops_s_f{funit}"
     cache = _load_baseline_cache()
-    if "train_cpu_crops_s" in cache:
-        return cache["train_cpu_crops_s"]
+    if key in cache:
+        return cache[key]
     import numpy as np
     import torch
 
@@ -224,7 +227,7 @@ def measure_cpu_train_crops_s(funit: int = 64, bs: int = 30,
     step(bs)
     dt = time.perf_counter() - t0
     cps = bs / dt
-    cache["train_cpu_crops_s"] = cps
+    cache[key] = cps
     _save_baseline_cache(cache)
     return cps
 
@@ -387,8 +390,8 @@ def bench_nightmode_batch(args, cpu_mps, n_images: int = 4):
             run_one(i)
         dt = (time.perf_counter() - t0) / (n_images - 1)
     mps = 6.0 / dt
-    measure_cpu_pipeline_mps(args.funit)  # ensures nightmode_cpu_mps cached
-    night_cpu = _load_baseline_cache()["nightmode_cpu_mps"]
+    measure_cpu_pipeline_mps(args.funit)  # ensures the nightmode key cached
+    night_cpu = _load_baseline_cache()[f"nightmode_cpu_mps_f{args.funit}"]
     return {"metric": "nightmode_batch_per_image_6mp",
             "value": round(mps, 3), "unit": "MP/s",
             "vs_baseline": round(mps / night_cpu, 2)}

@@ -382,6 +382,44 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU"):
     return apply_fn, params
 
 
+def make_sharded_denoiser(network: str, params, ndev: int,
+                          cs: Optional[int] = None,
+                          ucs: Optional[int] = None,
+                          activation: str = "PReLU",
+                          ol: int = tiles_mod.DEFAULT_OVERLAP,
+                          batch_size: int = 8,
+                          compute_dtype: str = "bfloat16",
+                          precision: str = "default",
+                          max_subpixels: Optional[int] = None):
+    """The multi-device engagement recipe, in ONE place (used by
+    denoise_image_cli, denoise_cli's dir batch, eval/denoise_dir, and the
+    serving daemon): resolve the forward, per-arch tile defaults, the
+    tiles-per-device split of the batch, and the reference guard rails
+    (--max_subpixels, precision) that the single-device engine honors."""
+    from ..models import get_network
+    from ..parallel import mesh as pmesh
+    from ..parallel.sharded_engine import ShardedTileDenoiser
+
+    net = get_network(network)
+    if cs is None or ucs is None:
+        cs, ucs = default_cs_ucs(network)
+    if hasattr(net, "check_cs"):
+        net.check_cs(cs)
+    apply_fn, params = resolve_apply_fn(network, params, activation)
+    if precision == "float32":
+        base_fn = apply_fn
+
+        def apply_fn(p, x):
+            with jax.default_matmul_precision("highest"):
+                return base_fn(p, x)
+
+    return ShardedTileDenoiser(
+        apply_fn, params, cs=cs, ucs=ucs, ol=ol,
+        tiles_per_device=max(1, batch_size // ndev),
+        compute_dtype=compute_dtype, mesh=pmesh.make_mesh(ndev),
+        max_subpixels=max_subpixels)
+
+
 def make_engine(network: str, params, cs: Optional[int] = None,
                 ucs: Optional[int] = None, activation: str = "PReLU",
                 **kwargs) -> TileEngine:

@@ -93,17 +93,13 @@ def main(argv=None):
     ndev = args.devices or jax.device_count()
     if ndev > 1 and not args.whole_image:
         # multi-device hosts: row-band tile sharding per image (same
-        # auto-engagement as the product CLIs)
-        from ..engine.tile_engine import resolve_apply_fn
-        from ..parallel import mesh as pmesh
-        from ..parallel.sharded_engine import ShardedTileDenoiser
+        # auto-engagement as the product CLIs, same guard rails)
+        from ..engine.tile_engine import make_sharded_denoiser
 
-        apply_fn, sh_params = resolve_apply_fn(args.g_network, params,
-                                               activation)
-        sh = ShardedTileDenoiser(
-            apply_fn, sh_params, cs=args.cs, ucs=args.ucs,
-            tiles_per_device=max(1, args.batch_size // ndev),
-            compute_dtype="bfloat16", mesh=pmesh.make_mesh(ndev))
+        sh = make_sharded_denoiser(
+            args.g_network, params, ndev, cs=args.cs, ucs=args.ucs,
+            activation=activation, batch_size=args.batch_size,
+            max_subpixels=args.max_subpixels)
         engine = None
 
         def denoise_u16(raw, scale):

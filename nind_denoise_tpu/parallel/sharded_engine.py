@@ -66,13 +66,14 @@ class ShardedTileDenoiser:
     def __init__(self, apply_fn: Callable, params, cs: int, ucs: int,
                  ol: int = 6, tiles_per_device: int = 2,
                  compute_dtype: str = "float32", mesh: Optional[Mesh] = None,
-                 axis: str = "data"):
+                 axis: str = "data", max_subpixels: Optional[int] = None):
         from . import mesh as pmesh
 
         self.apply_fn = apply_fn
         self.cs, self.ucs, self.ol = cs, ucs, ol
         self.pad = (cs - ucs) // 2
         self.tpd = tiles_per_device
+        self.max_subpixels = max_subpixels
         self.cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
         self.axis = axis
@@ -127,6 +128,12 @@ class ShardedTileDenoiser:
 
     def denoise_hwc(self, img_hwc: np.ndarray) -> np.ndarray:
         h, w, c = img_hwc.shape
+        if self.max_subpixels is not None and \
+                self.tpd * self.cs * self.cs * c > self.max_subpixels:
+            raise RuntimeError(
+                f"ShardedTileDenoiser: per-device batch of "
+                f"{self.tpd * self.cs * self.cs * c} subpixels exceeds "
+                f"max_subpixels={self.max_subpixels}")
         plan = TilePlan(h, w, self.cs, self.ucs, self.ol)
         padded = plan.pad_image(np.ascontiguousarray(img_hwc, np.float32))
         ndev, stride, ucs, cs = self.ndev, plan.stride, self.ucs, self.cs

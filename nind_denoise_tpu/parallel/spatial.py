@@ -68,14 +68,22 @@ class SpatialShardedForward:
                 out_shardings=self.sh_img)
         return self._cache[shape]
 
+    def set_params(self, params) -> None:
+        """Replace the forward's pytree (e.g. fresh weights + BN state each
+        training epoch) — re-replicated once here; compiled programs are
+        reused since shardings/shapes are unchanged. Anything the forward
+        depends on MUST flow through this tree (not a closure), or it gets
+        baked into the jitted program as a stale trace-time constant."""
+        self.params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.repl) if hasattr(x, "shape")
+            else x, params)
+
     def __call__(self, img_nhwc, params=None) -> jax.Array:
-        """``params`` overrides the construction-time tree (e.g. fresh
-        weights each training epoch) — re-replicated here; the compiled
-        program is reused since shardings/shapes are unchanged."""
+        """``params`` overrides the construction-time tree (see
+        ``set_params``; prefer calling that once per epoch rather than
+        re-replicating per image)."""
         if params is not None:
-            self.params = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self.repl)
-                if hasattr(x, "shape") else x, params)
+            self.set_params(params)
         x = jnp.asarray(img_nhwc, jnp.float32)
         if x.ndim == 3:
             x = x[None]

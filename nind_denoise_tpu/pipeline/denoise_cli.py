@@ -143,13 +143,15 @@ def _run_denoiser(mcfg: dict, in_fpath: pathlib.Path, out_fpath: pathlib.Path,
 _ENGINE_CACHE: dict = {}
 
 
-def _get_engine(mcfg: dict, args):
+def _get_engine(mcfg: dict, args, cs=None, ucs=None):
     """Engine memoized per (model, tiling, batch): compiled programs are tied
     to the TileEngine instance, so directory runs reuse one engine."""
     from ..engine.tile_engine import make_engine
     from ..models import params_io
 
-    key = (mcfg["path"], mcfg.get("network", "UtNet"), args.cs, args.ucs,
+    cs = cs if cs is not None else args.cs
+    ucs = ucs if ucs is not None else args.ucs
+    key = (mcfg["path"], mcfg.get("network", "UtNet"), cs, ucs,
            args.batch_size)
     if key not in _ENGINE_CACHE:
         params, state = params_io.load_generator(
@@ -157,7 +159,7 @@ def _get_engine(mcfg: dict, args):
         if mcfg.get("network", "UtNet") == "UNet":
             params = (params, state)
         _ENGINE_CACHE[key] = make_engine(
-            mcfg.get("network", "UtNet"), params, cs=args.cs, ucs=args.ucs,
+            mcfg.get("network", "UtNet"), params, cs=cs, ucs=ucs,
             activation=mcfg.get("activation", "PReLU"),
             batch_size=args.batch_size)
     return _ENGINE_CACHE[key]
@@ -196,10 +198,22 @@ def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
     Storage-dtype pixels go straight to the streaming engine — the [0,1]
     normalization is fused into the tile program on device, skipping
     ~1 s/6 MP of host fp32 divide + transpose."""
-    engine = _get_engine(mcfg, args)
     fut = _DECODE_AHEAD.pop(str(in_fpath), None)
     raw, scale = fut.result() if fut is not None \
         else imgio.load_img_raw(str(in_fpath))
+    # small-image tile adaptation (core/tiles.adapt_cs_ucs): the default
+    # 504/480 tiling cannot mirror-pad images below ~246 px
+    from ..core.tiles import adapt_cs_ucs, default_cs_ucs
+    from ..models import get_network
+
+    network = mcfg.get("network", "UtNet")
+    cs, ucs = args.cs, args.ucs
+    if cs is None or ucs is None:
+        cs, ucs = default_cs_ucs(network)
+    cs, ucs = adapt_cs_ucs(raw.shape[0], raw.shape[1], cs, ucs,
+                           check=getattr(get_network(network), "check_cs",
+                                         None))
+    engine = _get_engine(mcfg, args, cs=cs, ucs=ucs)
     return engine.denoise_raw(raw, scale, out_dtype="device")
 
 
@@ -446,23 +460,56 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
     params, state = params_io.load_generator(mcfg["path"], network)
     if network == "UNet":
         params = (params, state)
+    raw_params = params  # pre-resolve tree (make_sharded_denoiser re-resolves)
     apply_fn, params = resolve_apply_fn(network, params,
                                         mcfg.get("activation", "PReLU"))
-    batcher = DeviceBatchDenoiser(
-        apply_fn, params, cs=cs, ucs=ucs,
-        tiles_per_dispatch=max(1, args.batch_size // ndev),
-        compute_dtype="bfloat16",  # the serial fast path's engine default
-        mesh=pmesh.make_mesh(ndev))
+    mesh = pmesh.make_mesh(ndev)
 
     sigma = int(args.sigma or 1)
     iterations = int(args.iterations or 10)
     quality = args.quality or "90"
     rldeblur = not args.no_deblur
 
+    from ..core.tiles import adapt_cs_ucs
+    from ..models import get_network
     from ..parallel import batch_engine
-    from ..parallel.sharded_engine import ShardedTileDenoiser
 
-    sharded = None  # lazy row-band engine for small chunks
+    check_cs = getattr(get_network(network), "check_cs", None)
+    tilings: dict = {}
+
+    def tiling_for(h, w):
+        """Per-shape tile adaptation (small images would otherwise abort
+        the whole run with a TilePlan error under the 504/480 default)."""
+        k = (h, w)
+        if k not in tilings:
+            tilings[k] = adapt_cs_ucs(h, w, cs, ucs, check=check_cs)
+            if tilings[k] != (cs, ucs):
+                print(f"{w}x{h} images too small for cs={cs}; "
+                      f"using cs={tilings[k][0]}")
+        return tilings[k]
+
+    engines: dict = {}
+
+    def get_batcher(cs_a, ucs_a) -> DeviceBatchDenoiser:
+        key = ("batch", cs_a, ucs_a)
+        if key not in engines:
+            engines[key] = DeviceBatchDenoiser(
+                apply_fn, params, cs=cs_a, ucs=ucs_a,
+                tiles_per_dispatch=max(1, args.batch_size // ndev),
+                compute_dtype="bfloat16",  # the serial fast path's default
+                mesh=mesh)
+        return engines[key]
+
+    def get_sharded(cs_a, ucs_a):
+        key = ("band", cs_a, ucs_a)
+        if key not in engines:
+            from ..engine.tile_engine import make_sharded_denoiser
+
+            engines[key] = make_sharded_denoiser(
+                network, raw_params, ndev, cs=cs_a, ucs=ucs_a,
+                activation=mcfg.get("activation", "PReLU"),
+                batch_size=args.batch_size)
+        return engines[key]
 
     def write_one(f, outpath, img01_or_u8, is_u8):
         if is_u8:
@@ -477,15 +524,12 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
     written = []
 
     def process_chunk(chunk, scale):
-        nonlocal sharded
-        if len(chunk) * 2 <= batcher.ndev:
+        h, w = chunk[0][1].shape[:2]
+        cs_a, ucs_a = tiling_for(h, w)
+        if len(chunk) * 2 <= ndev:
             # few images, many devices: row-band tile sharding uses the
             # WHOLE mesh per image instead of idling ndev-B devices
-            if sharded is None:
-                sharded = ShardedTileDenoiser(
-                    apply_fn, params, cs=cs, ucs=ucs,
-                    tiles_per_device=max(1, args.batch_size // ndev),
-                    compute_dtype="bfloat16", mesh=batcher.mesh)
+            sharded = get_sharded(cs_a, ucs_a)
             for f, raw in chunk:
                 print(f"\n----------------- {f.name} "
                       f"(row-band x{ndev}) -----------------\n")
@@ -501,7 +545,7 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
                     write_one(f, outpath, out01, is_u8=False)
                 written.append(outpath)
             return
-        den_full, nb = batcher.denoise_batch(
+        den_full, nb = get_batcher(cs_a, ucs_a).denoise_batch(
             np.stack([r for _, r in chunk]), scale,
             keep_padded=True)  # (ndev, H, W, C) sharded
         if rldeblur:
@@ -510,7 +554,7 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
             # (the plain 4-D batched call is XLA-only); then the gmic
             # post-op + uint8 quantize, all still sharded, one fetch
             u = batch_engine.rl_deblur_sharded(
-                den_full, float(sigma), int(iterations), batcher.mesh,
+                den_full, float(sigma), int(iterations), mesh,
                 impl=args.rl_impl, psf=args.rl_psf)
             u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
                            ).astype(jnp.uint8)
@@ -537,7 +581,7 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
         raw, scale = imgio.load_img_raw(str(f))
         key = (raw.shape, str(raw.dtype), scale)
         pending.setdefault(key, []).append((f, raw))
-        if len(pending[key]) == batcher.ndev:
+        if len(pending[key]) == ndev:
             process_chunk(pending.pop(key), scale)
     for (_, _, scale), members in pending.items():
         process_chunk(members, scale)

@@ -129,29 +129,18 @@ def _run_sharded(args, ndev: int) -> None:
     host and the canvas comes back fp32 — the wire-minimal streaming of the
     single-device engine matters on the tunnel dev environment, while this
     path targets co-located multi-chip hosts (PCIe, compute-bound)."""
-    import jax
-
-    from ..engine.tile_engine import resolve_apply_fn
-    from ..parallel import mesh as pmesh
-    from ..parallel.sharded_engine import ShardedTileDenoiser
+    from ..engine.tile_engine import make_sharded_denoiser
 
     params, state, activation = load_generator_params(args)
     if args.g_network == "UNet":
         params = (params, state)
-    apply_fn, params = resolve_apply_fn(args.g_network, params, activation)
-    if args.precision == "float32":
-        base_fn = apply_fn
-
-        def apply_fn(p, x):
-            with jax.default_matmul_precision("highest"):
-                return base_fn(p, x)
-
     img = imgio.load_img(args.input)  # (3, H, W) fp32 [0,1]
     cs, ucs = _adapt_tiles(args, img.shape[1], img.shape[2])
-    sharded = ShardedTileDenoiser(
-        apply_fn, params, cs=cs, ucs=ucs, ol=args.overlap,
-        tiles_per_device=max(1, args.batch_size // ndev),
-        compute_dtype=args.compute_dtype, mesh=pmesh.make_mesh(ndev))
+    sharded = make_sharded_denoiser(
+        args.g_network, params, ndev, cs=cs, ucs=ucs, activation=activation,
+        ol=args.overlap, batch_size=args.batch_size,
+        compute_dtype=args.compute_dtype, precision=args.precision,
+        max_subpixels=args.max_subpixels)
     out = sharded.denoise_hwc(np.ascontiguousarray(img.transpose(1, 2, 0)))
     _save_float_hwc(out, args.output, quality=args.quality)
     print(f"Denoised image written to {args.output} "
@@ -162,7 +151,11 @@ def _run_whole_spatial(args, ndev: int) -> None:
     """--whole_image over >1 device: H-axis spatial sharding
     (parallel/spatial.SpatialShardedForward — GSPMD partitions the convs
     and inserts the halo exchanges). Fixed per-chip activation memory: the
-    'enormous RAM' whole-image regime runs at ~1/ndev the footprint."""
+    'enormous RAM' whole-image regime runs at ~1/ndev the footprint.
+
+    The sharded H axis must divide the mesh (jax.device_put rejects
+    non-divisible dims), so the mesh shrinks to the largest divisor of the
+    padded height <= ndev (1 == plain single-device forward)."""
     from ..core import tiles as tiles_mod
     from ..engine.tile_engine import resolve_apply_fn
     from ..parallel import mesh as pmesh
@@ -172,18 +165,23 @@ def _run_whole_spatial(args, ndev: int) -> None:
     if args.g_network == "UNet":
         params = (params, state)
     apply_fn, params = resolve_apply_fn(args.g_network, params, activation)
-    fwd = SpatialShardedForward(apply_fn, params,
-                                mesh=pmesh.make_mesh(ndev, axis_name="sp"))
     img = imgio.load_img(args.input)  # (3, H, W)
     pad = args.pad or 0
     padded = tiles_mod.whole_image_pad(img, pad) if pad \
         else img.astype(np.float32)
+    hp = padded.shape[1]
+    nd = max(d for d in range(min(ndev, hp), 0, -1) if hp % d == 0)
+    if nd != ndev:
+        print(f"whole-image H={hp} not divisible by {ndev} devices; "
+              f"sharding over {nd}")
+    fwd = SpatialShardedForward(apply_fn, params,
+                                mesh=pmesh.make_mesh(nd, axis_name="sp"))
     y = np.asarray(fwd(padded.transpose(1, 2, 0)))[0]
     if pad:
         y = y[pad:-pad, pad:-pad]
     _save_float_hwc(y, args.output, quality=args.quality)
     print(f"Denoised image written to {args.output} "
-          f"({ndev}-device spatial sharding, whole image)")
+          f"({nd}-device spatial sharding, whole image)")
 
 
 def _adapt_tiles(args, height: int, width: int):
@@ -224,6 +222,9 @@ def run(args) -> str:
         args.output = make_output_fpath(args.input, args.model_path)
 
     ndev = _resolve_devices(args)
+    if args.debug and ndev > 1:
+        print("--debug tile dumps are a single-device feature; using 1 device")
+        ndev = 1
     if ndev > 1 and not args.whole_image:
         start_time = time.time()
         _run_sharded(args, ndev)

@@ -78,6 +78,7 @@ class DenoiseService:
         self._engine_for_cs(cs, ucs)  # warm the default engine eagerly
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
                       "busy_s": 0.0}
+        self._stats_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -88,19 +89,13 @@ class DenoiseService:
         key = (cs, ucs)
         if key in self._engines:
             return self._engines[key]
-        from ..engine.tile_engine import make_engine, resolve_apply_fn
+        from ..engine.tile_engine import make_engine, make_sharded_denoiser
 
         if self.ndev > 1:
-            from ..parallel import mesh as pmesh
-            from ..parallel.sharded_engine import ShardedTileDenoiser
-
-            apply_fn, params = resolve_apply_fn(
-                self._network, self._params, self._activation)
-            sharded = ShardedTileDenoiser(
-                apply_fn, params, cs=cs, ucs=ucs,
-                tiles_per_device=max(1, self._batch_size // self.ndev),
-                compute_dtype=self._compute_dtype,
-                mesh=pmesh.make_mesh(self.ndev))
+            sharded = make_sharded_denoiser(
+                self._network, self._params, self.ndev, cs=cs, ucs=ucs,
+                activation=self._activation, batch_size=self._batch_size,
+                compute_dtype=self._compute_dtype)
             # multi-chip hosts have fast PCIe + many cores: host fp32 is fine
             fn = lambda raw, scale: sharded.denoise_hwc(
                 raw.astype(np.float32) / scale)
@@ -154,6 +149,14 @@ class DenoiseService:
             raise done["error"]
         return done["result"]
 
+    def bump(self, key: str) -> None:
+        with self._stats_lock:
+            self.stats[key] += 1
+
+    def snapshot_stats(self) -> dict:
+        with self._stats_lock:
+            return dict(self.stats)
+
     def close(self):
         self._q.put(None)
 
@@ -190,8 +193,9 @@ class DenoiseService:
                 dev_u8 = jnp.round(jnp.clip(jnp.asarray(out01), 0, 1) * 255
                                    ).astype(jnp.uint8)
             u8 = transfer.fast_get(dev_u8)
-            self.stats["busy_s"] += time.perf_counter() - t0
-            self.stats["megapixels"] += raw.shape[0] * raw.shape[1] / 1e6
+            with self._stats_lock:
+                self.stats["busy_s"] += time.perf_counter() - t0
+                self.stats["megapixels"] += raw.shape[0] * raw.shape[1] / 1e6
             return u8
 
         u8 = self.submit(work)
@@ -231,7 +235,7 @@ def make_handler(svc: DenoiseService):
                 self._json(200, {"status": "ok", "devices": svc.ndev,
                                  "cs": svc.cs, "ucs": svc.ucs})
             elif path == "/stats":
-                self._json(200, svc.stats)
+                self._json(200, svc.snapshot_stats())
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
@@ -247,7 +251,7 @@ def make_handler(svc: DenoiseService):
             if length <= 0 or length > self.MAX_BODY:
                 return self._json(413, {"error": f"bad body size {length}"})
             data = self.rfile.read(length)
-            svc.stats["requests"] += 1
+            svc.bump("requests")
             try:
                 out = svc.denoise_bytes(
                     data, output=get("output", "jpg"),
@@ -257,8 +261,11 @@ def make_handler(svc: DenoiseService):
                     iterations=int(get("iterations", "10")),
                     psf=get("psf", "gaussian"))
             except Exception as e:
-                svc.stats["errors"] += 1
-                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                svc.bump("errors")
+                # client errors (bad image / bad params) -> 400;
+                # anything else is a server fault -> 500
+                code = 400 if isinstance(e, ValueError) else 500
+                return self._json(code, {"error": f"{type(e).__name__}: {e}"})
             ctype = {"jpg": "image/jpeg", "jpeg": "image/jpeg",
                      "png": "image/png", "tiff": "image/tiff"}[
                          get("output", "jpg")]

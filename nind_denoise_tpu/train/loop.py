@@ -272,17 +272,33 @@ def test_generator(gen, test_set, weights, output_to_dir: Optional[str] = None) 
     if jax.device_count() > 1:
         from ..parallel.spatial import SpatialShardedForward
 
+        # EVERYTHING the forward reads must travel in the pytree: a
+        # closure over gen.state (e.g. UNet BN stats via gen.infer) would
+        # be baked into the jitted program at trace time and every later
+        # epoch would silently test with stale statistics
+        def _bundle():
+            if gen.stateful:
+                return {"p": gen.state.params, "s": gen.state.model_state}
+            return {"p": gen.state.params}
+
+        def _spatial_apply(bundle, x):
+            if gen.stateful:
+                return gen.apply_fn(bundle["p"], x, bundle["s"])[0]
+            return gen.apply_fn(bundle["p"], x)
+
         # cached on the generator: one compiled program per image size for
-        # the whole run, fresh params re-replicated each epoch
+        # the whole run; fresh params+state re-replicated ONCE per epoch
         spatial = getattr(gen, "_spatial_test_fwd", None)
         if spatial is None:
-            spatial = SpatialShardedForward(gen.infer, gen.state.params)
+            spatial = SpatialShardedForward(_spatial_apply, _bundle())
             gen._spatial_test_fwd = spatial
+        else:
+            spatial.set_params(_bundle())
 
     def whole_forward(n):
         if spatial is not None and n.shape[1] % spatial.ndev == 0:
             try:
-                return spatial(n, params=gen.state.params)
+                return spatial(n)
             except Exception:  # odd size/sharding corner: single-device path
                 pass
         return gen.infer(gen.state.params, n)

@@ -87,10 +87,10 @@ def test_matches_real_gmic(tmp_path):
                              max(((ours - theirs) ** 2).mean(), 1e-12))
         stats[psf] = (mad, psnr)
     print(f"gmic parity: {stats}")
-    # the loose bound both must clear; the fast variant should be tighter
-    assert min(m for m, _ in stats.values()) < 2.0, stats
-    assert max(p for _, p in stats.values()) > 35.0 or \
-        stats["gmic_fast"][1] > 35.0, stats
+    # BOTH variants must clear the loose bound (the product default stays
+    # pinned); the fast variant is expected to be at least as tight
+    for psf, (mad, psnr) in stats.items():
+        assert mad < 2.0 and psnr > 35.0, (psf, stats)
     assert stats["gmic_fast"][0] <= stats["gaussian"][0] + 0.5, stats
 
 

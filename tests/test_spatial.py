@@ -97,3 +97,51 @@ def test_whole_image_cli_spatial(tmp_path):
         common + ["-o", o8, "--devices", "8"])[0])
     x1, x8 = imgio.load_img(o1), imgio.load_img(o8)
     np.testing.assert_allclose(x8, x1, atol=1e-6)
+
+
+def test_whole_image_cli_non_divisible_height(tmp_path):
+    """--whole_image --devices 8 with H not divisible by 8: the CLI must
+    shrink the mesh to the largest divisor instead of crashing in
+    device_put (review r3 finding)."""
+    import cv2
+
+    from nind_denoise_tpu.core import imgio
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.pipeline import denoise_image_cli as dic
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 65536, (120, 104, 3), dtype=np.uint16)
+    pin = str(tmp_path / "in.png")
+    cv2.imwrite(pin, img[..., ::-1])
+    ckpt = str(tmp_path / "g_1.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=4), ckpt)
+    out = str(tmp_path / "o.tiff")
+    # padded H = 120 + 16 = 136 (a valid UtNet size, = 8*17): NOT divisible
+    # by a 3-device mesh -> the CLI must shrink to the largest divisor (2)
+    # instead of crashing in device_put
+    ns = dic.build_parser().parse_known_args_layered(
+        ["-i", pin, "-o", out, "--model_path", ckpt, "--network", "UtNet",
+         "--whole_image", "--pad", "8", "--compute_dtype", "float32",
+         "--exif_method", "noexif", "--devices", "3"])[0]
+    dic.run(ns)
+    x = imgio.load_img(out)
+    assert x.shape == (3, 120, 104) and np.isfinite(x).all()
+
+
+def test_set_params_propagates_state(setup):
+    """Stateful bundles (e.g. UNet BN statistics) must flow through
+    set_params, NOT a closure — a closure would be baked into the jit as a
+    trace-time constant (review r3 finding on test_generator)."""
+    params, _ = setup
+    bias_tree = {"p": params, "offset": jnp.float32(0.0)}
+
+    def apply_with_offset(bundle, x):
+        return UtNet.apply(bundle["p"], x) + bundle["offset"]
+
+    fwd = SpatialShardedForward(apply_with_offset, bias_tree)
+    rng = np.random.default_rng(7)
+    img = rng.random((1, 136, 104, 3), dtype=np.float32)
+    y0 = np.asarray(fwd(img))
+    fwd.set_params({"p": params, "offset": jnp.float32(1.0)})
+    y1 = np.asarray(fwd(img))
+    np.testing.assert_allclose(y1 - y0, 1.0, atol=1e-5)
