@@ -216,3 +216,24 @@ def test_cli_rl_psf_gmic_fast(tmp_path, tiny_checkpoint):
         assert outs[psf] is not None
     assert np.abs(outs["gaussian"].astype(np.int32)
                   - outs["gmic_fast"].astype(np.int32)).max() > 0
+
+
+def test_cli_small_image_fast_path(tmp_path, tiny_checkpoint):
+    """Pipeline CLI on a small TIFF with the DEFAULT tiling (504/480):
+    the serial fast path must adapt the tile size instead of raising
+    (review r3 finding)."""
+    import cv2
+
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    rng = np.random.default_rng(4)
+    img = (rng.random((150, 180, 3)) * 65535).astype(np.uint16)
+    tif = tmp_path / "small.tif"
+    cv2.imwrite(str(tif), img[..., ::-1])
+    outd = tmp_path / "out"
+    outd.mkdir()
+    denoise_cli.main([str(tif), "--tiff-input", "-o", str(outd), "-e", "png",
+                      "--model_path", tiny_checkpoint, "--iterations", "2",
+                      "--devices", "1"])
+    out = cv2.imread(str(outd / "small.png"), cv2.IMREAD_UNCHANGED)
+    assert out is not None and out.shape == (150, 180, 3)
