@@ -382,6 +382,19 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU"):
     return apply_fn, params
 
 
+def _resolve_tiles(network: str, cs: Optional[int], ucs: Optional[int]):
+    """Per-arch tile defaults + arch size-formula validation (shared by the
+    single-device and multi-device constructors so they cannot drift)."""
+    from ..models import get_network
+
+    net = get_network(network)
+    if cs is None or ucs is None:
+        cs, ucs = default_cs_ucs(network)
+    if hasattr(net, "check_cs"):
+        net.check_cs(cs)
+    return cs, ucs
+
+
 def make_sharded_denoiser(network: str, params, ndev: int,
                           cs: Optional[int] = None,
                           ucs: Optional[int] = None,
@@ -390,22 +403,24 @@ def make_sharded_denoiser(network: str, params, ndev: int,
                           batch_size: int = 8,
                           compute_dtype: str = "bfloat16",
                           precision: str = "default",
-                          max_subpixels: Optional[int] = None):
+                          max_subpixels: Optional[int] = None,
+                          resolved=None):
     """The multi-device engagement recipe, in ONE place (used by
     denoise_image_cli, denoise_cli's dir batch, eval/denoise_dir, and the
     serving daemon): resolve the forward, per-arch tile defaults, the
     tiles-per-device split of the batch, and the reference guard rails
-    (--max_subpixels, precision) that the single-device engine honors."""
-    from ..models import get_network
+    (--max_subpixels, precision) that the single-device engine honors.
+
+    ``resolved``: optional pre-resolved ``(apply_fn, params)`` from
+    resolve_apply_fn — callers building several denoisers (per tile size)
+    from one checkpoint pass it to avoid re-deriving the fastconv kernel
+    tree on device each time."""
     from ..parallel import mesh as pmesh
     from ..parallel.sharded_engine import ShardedTileDenoiser
 
-    net = get_network(network)
-    if cs is None or ucs is None:
-        cs, ucs = default_cs_ucs(network)
-    if hasattr(net, "check_cs"):
-        net.check_cs(cs)
-    apply_fn, params = resolve_apply_fn(network, params, activation)
+    cs, ucs = _resolve_tiles(network, cs, ucs)
+    apply_fn, params = (resolved if resolved is not None
+                        else resolve_apply_fn(network, params, activation))
     if precision == "float32":
         base_fn = apply_fn
 
@@ -425,12 +440,6 @@ def make_engine(network: str, params, cs: Optional[int] = None,
                 **kwargs) -> TileEngine:
     """Convenience constructor resolving per-arch tile defaults
     (autodetect_network_cs_ucs parity, denoise_image.py:59-79)."""
-    from ..models import get_network
-
-    net = get_network(network)
-    if cs is None or ucs is None:
-        cs, ucs = default_cs_ucs(network)
-    if hasattr(net, "check_cs"):
-        net.check_cs(cs)
+    cs, ucs = _resolve_tiles(network, cs, ucs)
     apply_fn, params = resolve_apply_fn(network, params, activation)
     return TileEngine(apply_fn, params, cs, ucs, **kwargs)

@@ -91,8 +91,10 @@ def _fused_vmem_estimate(bh: int, r: int, w: int) -> int:
 
 def _fused_band_h(w: int, r: int) -> int:
     """Largest band_h (multiple of 8, est_rows <= 128) whose fused-RL VMEM
-    estimate fits ``_VMEM_LIMIT`` at image width ``w``. Returns 0 when even
-    band_h=8 does not fit (caller must fall back to the XLA path)."""
+    estimate fits ``_VMEM_LIMIT`` at image width ``w``. Returns 0 when no
+    valid band exists (caller must fall back to the XLA path). band_h >= r
+    is required so the in-kernel edge-replicate fixes only ever span the
+    first/last two bands (their replicate sources are static slices)."""
     best = 0
     bh = 8
     while bh + 2 * r <= 128:
@@ -100,7 +102,7 @@ def _fused_band_h(w: int, r: int) -> int:
             break
         best = bh
         bh += 8
-    return best
+    return best if best >= r else 0
 
 
 def fused_fits(w: int, sigma: float = 1.0) -> bool:
@@ -164,9 +166,14 @@ def _gauss_blur_planar(img_chw: jnp.ndarray, sigma: float = 1.0,
     w_out = _round_up(w, 128)
     w_in = w_out + 128                   # room for the 2r horizontal slack
     # shrink the band if the width-proportional scratch would blow VMEM
-    while band_h > 8 and ((band_h + 2 * halo) * w_in + band_h * w_out
-                          + 3 * band_h * w_in) * 4 > _VMEM_LIMIT:
+    est = lambda bh: ((bh + 2 * halo) * w_in + bh * w_out
+                      + 3 * bh * w_in) * 4
+    while band_h > 8 and est(band_h) > _VMEM_LIMIT:
         band_h = max(8, band_h // 2 // 8 * 8)
+    if est(band_h) > _VMEM_LIMIT:
+        raise ValueError(
+            f"gauss_blur_pallas: width {w} exceeds the VMEM budget even at "
+            f"the minimum band height; use the lax path (ops/rl_deblur._blur)")
     hb = _round_up(h, band_h)
 
     x = jnp.pad(img_chw.astype(jnp.float32),
@@ -259,14 +266,29 @@ def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, sem_u, sem_d, sem_o, *,
         # row replicate fix (rows are sublanes here): abs row = i*band_h-r+e
         e0 = i * band_h - r
         iota_e = jax.lax.broadcasted_iota(jnp.int32, (est_rows, est_cols), 0)
-        ratio = jnp.where(iota_e + e0 < 0, ratio[r:r + 1, :], ratio)
-        # rows >= h occur only in the LAST band, so the replicate source
-        # (image row h-1) sits at a STATIC index there; elsewhere the mask
-        # is all-false and the where ignores it (Mosaic has no dynamic
-        # value slicing, so a traced source index would not lower)
+        # TOP: abs row 0 sits at slot r - i*band_h. The mask (abs < 0) can
+        # fire in band 0 always and in band 1 iff r >= band_h (very wide
+        # images shrink band_h below wide-sigma radii); Mosaic has no
+        # dynamic value slicing, so select between the two STATIC slices
+        # by band index (the unused one is masked off anyway).
+        top0 = ratio[r:r + 1, :]
+        t1 = r - band_h
+        top1 = ratio[t1:t1 + 1, :] if t1 >= 0 else top0
+        top_src = jnp.where(i == 0, top0, top1)
+        ratio = jnp.where(iota_e + e0 < 0, top_src, ratio)
+        # BOTTOM: abs row h-1 sits at slot h-1 - (i*band_h - r) =
+        # e_src + (n_bands-1-i)*band_h. The mask (abs > h-1) fires in the
+        # LAST band and — when the tail band holds fewer than r real rows
+        # (h mod band_h in [1, r-1]) — also in the SECOND-TO-LAST band,
+        # where the source sits band_h rows lower in the frame. A single
+        # last-band slice replicated from ~band_h rows too high there
+        # (caught by review r3; h=361/362 vs the lax path).
         e_src = h - 1 - (n_bands - 1) * band_h + r
-        ratio = jnp.where(iota_e + e0 > h - 1, ratio[e_src:e_src + 1, :],
-                          ratio)
+        bot_last = ratio[e_src:e_src + 1, :]
+        b1 = e_src + band_h
+        bot_prev = ratio[b1:b1 + 1, :] if b1 < est_rows else bot_last
+        bot_src = jnp.where(i == n_bands - 1, bot_last, bot_prev)
+        ratio = jnp.where(iota_e + e0 > h - 1, bot_src, ratio)
         # corr = blur(ratio)
         cv = taps[0] * ratio[0:band_h, :]
         for k in range(1, len(taps)):

@@ -63,36 +63,32 @@ class DeviceBatchDenoiser:
         self.params = pmesh.replicate_tree(self.mesh, params)
         self._step_cache = {}
 
-    def _step(self, h: int, w: int, channels: int):
-        key = (h, w, channels)
+    def _step(self, hp_b: int, wp_b: int, grid_hb: int, grid_wb: int,
+              ntb: int, channels: int, dtype):
+        """One compiled program per BUCKETED shape tuple (the CLAUDE.md
+        invariant: programs keyed by bucketed extents, shapes padded with
+        zero-weight dummy tiles), with coords/specs as runtime arguments —
+        a directory of mixed image sizes reuses programs instead of paying
+        a 30s-15min remote compile per exact shape."""
+        key = (hp_b, wp_b, grid_hb, grid_wb, ntb, channels, str(dtype))
         if key in self._step_cache:
             return self._step_cache[key]
-        plan = TilePlan(h, w, self.cs, self.ucs, self.ol)
-        ntiles = math.ceil(plan.ntiles / self.tpd) * self.tpd
-        coords_np = np.zeros((ntiles, 2), np.int32)
-        specs_np = np.zeros((ntiles, 6), np.int32)
-        cds, sps = plan.tile_specs_arrays(range(plan.ntiles))
-        coords_np[:plan.ntiles] = cds
-        specs_np[:plan.ntiles] = sps
-        # gather coords are in the padded-image frame: tile (y, x) origin
-        # equals its canvas origin there (pad_top == pad == receptive pad)
-        coords_c = jnp.asarray(coords_np)
-        specs_c = jnp.asarray(specs_np)
-        nrounds = ntiles // self.tpd
+        nrounds = ntb // self.tpd
         tpd, cs, ucs, pad, ol, axis = (self.tpd, self.cs, self.ucs, self.pad,
                                        self.ol, self.axis)
 
-        def local_step(params, padded, inv_scale):
-            """One device: the full tile loop over its own image."""
-            padded = padded[0]  # (Hp, Wp, C) storage dtype
-            canvas = jnp.zeros((plan.grid_h, plan.grid_w, channels),
-                               jnp.float32)
+        def local_step(params, padded, inv_scale, coords, specs):
+            """One device: the full tile loop over its own image. coords
+            (ntb, 2) / specs (ntb, 6) arrive replicated (P() in_specs →
+            full arrays locally; zero spec row = dummy tile)."""
+            padded = padded[0]   # (hp_b, wp_b, C) storage dtype
+            canvas = jnp.zeros((grid_hb, grid_wb, channels), jnp.float32)
             if hasattr(lax, "pcast"):  # fresh canvas is device-invariant
                 canvas = lax.pcast(canvas, (axis,), to="varying")
 
             def round_body(rr, cv):
-                c = lax.dynamic_slice(coords_c, (rr * tpd, 0), (tpd, 2))
-                s = lax.dynamic_slice(specs_c, (rr * tpd, 0), (tpd, 6))
+                c = lax.dynamic_slice(coords, (rr * tpd, 0), (tpd, 2))
+                s = lax.dynamic_slice(specs, (rr * tpd, 0), (tpd, 6))
                 norm = lambda p, t: self.apply_fn(
                     p, t * inv_scale.astype(self.cdt))
                 slabs = device_stitch.forward_round(
@@ -101,14 +97,20 @@ class DeviceBatchDenoiser:
                 return device_stitch.scatter_add_slabs(cv, slabs, c, ucs)
 
             canvas = lax.fori_loop(0, nrounds, round_body, canvas)
-            return canvas[None, :h, :w]
+            return canvas[None]
 
         fn = shard_map(local_step, mesh=self.mesh,
-                       in_specs=(P(), P(self.axis), P()),
+                       in_specs=(P(), P(self.axis), P(), P(), P()),
                        out_specs=P(self.axis))
         jitted = jax.jit(fn)
         self._step_cache[key] = jitted
         return jitted
+
+    BUCKET = 512
+
+    @staticmethod
+    def _bucket(n: int, m: int = 512) -> int:
+        return ((n + m - 1) // m) * m
 
     def denoise_batch(self, imgs: np.ndarray, scale: float = 1.0,
                       keep_padded: bool = False):
@@ -118,8 +120,9 @@ class DeviceBatchDenoiser:
         batches pad with dummy images (cropped off in the result).
 
         ``keep_padded=True`` returns ``(full_ndev_array, B)`` instead of
-        slicing, so downstream shard_map post-ops (e.g.
-        ``rl_deblur_sharded``) keep the mesh-divisible image axis.
+        slicing the batch axis, so downstream shard_map post-ops (e.g.
+        ``rl_deblur_sharded``) keep the mesh-divisible image axis; the
+        spatial dims are already cropped to (H, W) either way.
         """
         b, h, w, c = imgs.shape
         if b > self.ndev:
@@ -128,13 +131,35 @@ class DeviceBatchDenoiser:
         plan = TilePlan(h, w, self.cs, self.ucs, self.ol)
         padded = np.stack([plan.pad_image(imgs[i]) for i in range(b)])
         if b < self.ndev:  # pad the batch so the image axis divides the mesh
+            # zero dummies: compress on the wire and RL is a no-op on them
+            # (d=0 -> ratio=0 -> u stays 0), unlike repeated full images
+            # that would burn idle devices on work that is cropped off
             padded = np.concatenate(
-                [padded, np.repeat(padded[-1:], self.ndev - b, axis=0)])
+                [padded, np.zeros((self.ndev - b,) + padded.shape[1:],
+                                  padded.dtype)])
+        # bucket spatial extents + tile count so programs are shared
+        hp_b, wp_b = self._bucket(padded.shape[1]), self._bucket(padded.shape[2])
+        padded = np.pad(padded, ((0, 0), (0, hp_b - padded.shape[1]),
+                                 (0, wp_b - padded.shape[2]), (0, 0)))
+        ntb = math.ceil(plan.ntiles / (8 * self.tpd)) * 8 * self.tpd
+        coords_np = np.zeros((ntb, 2), np.int32)
+        specs_np = np.zeros((ntb, 6), np.int32)
+        cds, sps = plan.tile_specs_arrays(range(plan.ntiles))
+        # gather coords are in the padded-image frame: tile (y, x) origin
+        # equals its canvas origin there (pad_top == pad == receptive pad)
+        coords_np[:plan.ntiles] = cds
+        specs_np[:plan.ntiles] = sps
+        grid_hb, grid_wb = self._bucket(plan.grid_h), self._bucket(plan.grid_w)
+
         sh = NamedSharding(self.mesh, P(self.axis))
+        repl = NamedSharding(self.mesh, P())
         padded_dev = jax.device_put(padded, sh)
-        step = self._step(h, w, c)
-        out = step(self.params, padded_dev,
-                   jnp.asarray(1.0 / scale, self.cdt))
+        coords_dev = jax.device_put(coords_np, repl)
+        specs_dev = jax.device_put(specs_np, repl)
+        step = self._step(hp_b, wp_b, grid_hb, grid_wb, ntb, c, padded.dtype)
+        out = step(self.params, padded_dev, jnp.asarray(1.0 / scale, self.cdt),
+                   coords_dev, specs_dev)
+        out = out[:, :h, :w]  # trivial slice program; the tile loop is shared
         return (out, b) if keep_padded else out[:b]
 
     def denoise_many(self, imgs: np.ndarray, scale: float = 1.0) -> np.ndarray:
@@ -160,7 +185,9 @@ def rl_deblur_sharded(imgs_dev, sigma: float, iterations: int, mesh: Mesh,
     HWC-only). Zero collectives; output keeps the sharding."""
     from ..ops import rl_deblur
 
-    key = (id(mesh), imgs_dev.shape, float(sigma), int(iterations), impl, psf)
+    # Mesh is hashable: keying on the object (not id()) avoids silent
+    # id-reuse if entries are ever evicted/weakened
+    key = (mesh, imgs_dev.shape, float(sigma), int(iterations), impl, psf)
     fn = _RL_SHARDED_CACHE.get(key)
     if fn is None:
         def local(x):  # (1, H, W, C) per device

@@ -48,14 +48,22 @@ def init_distributed(coordinator: Optional[str] = None,
     coord = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord is None and num_processes is None:
         return False
-    if coord is None:
-        raise ValueError(
-            "init_distributed: num_processes given without a coordinator "
-            "address (pass coordinator= or set JAX_COORDINATOR_ADDRESS)")
-    jax.distributed.initialize(coordinator_address=coord,
-                               num_processes=num_processes,
-                               process_id=process_id,
-                               local_device_ids=local_device_ids)
+    try:
+        # coord may legitimately be None on Cloud TPU pods:
+        # jax.distributed.initialize auto-detects the coordinator from the
+        # TPU metadata service and only num_processes/process_id are given
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=num_processes,
+                                   process_id=process_id,
+                                   local_device_ids=local_device_ids)
+    except Exception as e:
+        if coord is None:
+            raise ValueError(
+                "init_distributed: num_processes given without a "
+                "coordinator address and cluster auto-detection failed "
+                "(pass coordinator= or set JAX_COORDINATOR_ADDRESS); "
+                f"underlying error: {e}") from e
+        raise
     _DIST_INITIALIZED = True
     return True
 

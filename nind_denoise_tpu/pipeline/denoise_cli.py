@@ -460,7 +460,6 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
     params, state = params_io.load_generator(mcfg["path"], network)
     if network == "UNet":
         params = (params, state)
-    raw_params = params  # pre-resolve tree (make_sharded_denoiser re-resolves)
     apply_fn, params = resolve_apply_fn(network, params,
                                         mcfg.get("activation", "PReLU"))
     mesh = pmesh.make_mesh(ndev)
@@ -506,9 +505,8 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
             from ..engine.tile_engine import make_sharded_denoiser
 
             engines[key] = make_sharded_denoiser(
-                network, raw_params, ndev, cs=cs_a, ucs=ucs_a,
-                activation=mcfg.get("activation", "PReLU"),
-                batch_size=args.batch_size)
+                network, None, ndev, cs=cs_a, ucs=ucs_a,
+                batch_size=args.batch_size, resolved=(apply_fn, params))
         return engines[key]
 
     def write_one(f, outpath, img01_or_u8, is_u8):

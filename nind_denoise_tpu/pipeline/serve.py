@@ -92,10 +92,15 @@ class DenoiseService:
         from ..engine.tile_engine import make_engine, make_sharded_denoiser
 
         if self.ndev > 1:
+            if not hasattr(self, "_resolved"):
+                from ..engine.tile_engine import resolve_apply_fn
+
+                self._resolved = resolve_apply_fn(
+                    self._network, self._params, self._activation)
             sharded = make_sharded_denoiser(
-                self._network, self._params, self.ndev, cs=cs, ucs=ucs,
-                activation=self._activation, batch_size=self._batch_size,
-                compute_dtype=self._compute_dtype)
+                self._network, None, self.ndev, cs=cs, ucs=ucs,
+                batch_size=self._batch_size,
+                compute_dtype=self._compute_dtype, resolved=self._resolved)
             # multi-chip hosts have fast PCIe + many cores: host fp32 is fine
             fn = lambda raw, scale: sharded.denoise_hwc(
                 raw.astype(np.float32) / scale)

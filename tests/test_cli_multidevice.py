@@ -199,3 +199,28 @@ def test_small_image_default_tiling_adapts(tmp_path, ckpt):
     dic.run(ns)  # default cs/ucs resolve to 504/480 -> must adapt, not raise
     x = imgio.load_img(out)
     assert x.shape == (3, 150, 180) and np.isfinite(x).all()
+
+
+def test_batch_engine_program_reuse_across_shapes(ckpt):
+    """CLAUDE.md invariant: compiled programs keyed by BUCKETED shapes.
+    Two different image sizes in the same buckets must share one compiled
+    tile-loop program (review r3: the first cut baked coords in as
+    constants and compiled per exact shape — 30s-15min per remote compile)."""
+    from nind_denoise_tpu.engine.tile_engine import resolve_apply_fn
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.parallel import mesh as pmesh
+    from nind_denoise_tpu.parallel.batch_engine import DeviceBatchDenoiser
+
+    params, _ = params_io.load_generator(ckpt, "UtNet")
+    apply_fn, params = resolve_apply_fn("UtNet", params)
+    eng = DeviceBatchDenoiser(apply_fn, params, cs=104, ucs=88,
+                              tiles_per_dispatch=1,
+                              mesh=pmesh.make_mesh(8))
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 150, 200, 3)).astype(np.float32)   # 6 tiles -> ntb 8
+    b = rng.random((2, 160, 180, 3)).astype(np.float32)   # 6 tiles -> ntb 8
+    ya = np.asarray(eng.denoise_batch(a))
+    yb = np.asarray(eng.denoise_batch(b))
+    assert ya.shape == a.shape and yb.shape == b.shape
+    assert np.isfinite(ya).all() and np.isfinite(yb).all()
+    assert len(eng._step_cache) == 1, eng._step_cache.keys()

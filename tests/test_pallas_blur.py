@@ -92,6 +92,21 @@ def test_pallas_rl_fused_wide_image():
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("h", [361, 362])
+def test_pallas_rl_fused_short_tail_band(h):
+    """Tail band with fewer than r real rows (h mod band_h in [1, r-1]):
+    the bottom edge-replicate fix also fires in the SECOND-TO-LAST band,
+    whose replicate source sits band_h rows lower in the frame — a single
+    last-band slice replicated from the wrong row there (review r3,
+    confirmed: pre-fix max err 6.2e-2 at h=361 vs 1e-6 at h=363)."""
+    rng = np.random.default_rng(13)
+    img = rng.random((h, 140, 3), dtype=np.float32) + 0.05
+    ref = np.asarray(rl_deblur.rl_deblur(jnp.asarray(img), 1.0, 2, impl="xla"))
+    got = np.asarray(pallas_blur.rl_deblur_pallas_fused(
+        jnp.asarray(img), 1.0, 2, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_pallas_rl_fused_wide_taps():
     """sigma=3 (r=9 > one sublane tile): halo2 rounds to 16, band_h shrinks
     to keep est_rows <= 128; numerics must hold."""
