@@ -227,6 +227,11 @@ class TilePlan:
         return canvas[:self.H, :self.W]
 
 
+class TilingError(ValueError):
+    """No tiling fits the image (adapt_cs_ucs): callers fall back to the
+    tiny-image padded forward (TileEngine.denoise_tiny)."""
+
+
 def adapt_cs_ucs(height: int, width: int, cs: int, ucs: int,
                  ol: int = DEFAULT_OVERLAP, check=None) -> Tuple[int, int]:
     """(cs, ucs) that actually fit the image.
@@ -263,9 +268,45 @@ def adapt_cs_ucs(height: int, width: int, cs: int, ucs: int,
             break
         if arch_ok(c) and fits(c):
             return c, c - pad2
-    raise ValueError(
+    raise TilingError(
         f"adapt_cs_ucs: image {height}x{width} too small for any tiling "
         f"derived from cs={cs}/ucs={ucs}")
+
+
+def next_valid_dim(n: int, check=None, span: int = 1024) -> int:
+    """Smallest spatial extent >= n the architecture accepts.
+
+    ``check`` is the arch's size validator (e.g. ``UtNet.check_cs``) —
+    pooling constrains H and W independently, so it applies per dimension.
+    Without one, rounds up to a multiple of 64, the reference's whole-image
+    convention (``crop_to_multiple(..., 64)``, dataset_torch_3.py:394).
+    Used by the tiny-image path (TileEngine.denoise_tiny) for inputs below
+    the minimum tiling, which abort the reference outright
+    (denoise_image.py:151-170 needs mirror pad <= image size)."""
+    n = max(int(n), 1)
+    if check is None:
+        return ((n + 63) // 64) * 64
+    for d in range(n, n + span):
+        try:
+            check(d)
+            return d
+        except ValueError:
+            continue
+    raise ValueError(f"next_valid_dim: no valid size in [{n}, {n + span})")
+
+
+def pad_to_size(img_hwc: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Mirror-pad an HWC image on the bottom/right to exactly (th, tw).
+
+    Iterates np.pad(mode='symmetric') so extents may more than double —
+    a single symmetric pad is capped at the current size per axis. The
+    caller crops the output back with ``[:h, :w]``."""
+    out = img_hwc
+    while out.shape[0] < th or out.shape[1] < tw:
+        ph = min(th - out.shape[0], out.shape[0])
+        pw = min(tw - out.shape[1], out.shape[1])
+        out = np.pad(out, ((0, ph), (0, pw), (0, 0)), mode="symmetric")
+    return out
 
 
 def whole_image_pad(img_chw: np.ndarray, pad: int) -> np.ndarray:

@@ -62,9 +62,11 @@ class TileEngine:
                  ol: int = tiles_mod.DEFAULT_OVERLAP, batch_size: int = 4,
                  compute_dtype: str = "bfloat16", precision: str = "default",
                  max_subpixels: Optional[int] = None,
-                 debug_dir: Optional[str] = None):
+                 debug_dir: Optional[str] = None,
+                 size_check=None):
         self.apply_fn = apply_fn
         self.cs, self.ucs, self.ol = cs, ucs, ol
+        self.size_check = size_check  # arch size validator (denoise_tiny)
         self.pad = (cs - ucs) // 2
         self.batch_size = batch_size
         self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -350,6 +352,41 @@ class TileEngine:
             y = y[:, pad:-pad, pad:-pad]
         return y
 
+    def denoise_tiny(self, raw_hwc: np.ndarray, scale: float,
+                     out_dtype: str = "uint16"):
+        """Images below the minimum tiling (adapt_cs_ucs ValueError): the
+        reference aborts on these — its per-tile mirror pad needs
+        pad <= image size (denoise_image.py:151-170). Here: mirror-pad
+        bottom/right to the smallest arch-valid extents
+        (tiles.next_valid_dim per dimension), one whole forward, crop back.
+
+        Host-side fp32 normalize (images this small make wire layout
+        irrelevant). out_dtype: 'uint8'/'uint16' (clipped quantize),
+        'float16'/'float32' (unclipped), or 'device' (float32 HWC
+        DeviceArray for on-device post-ops, e.g. the RL stage). The whole
+        jit retraces per padded size; tiny compiles are cheap and the
+        persistent cache keeps them one-time per host."""
+        h, w = raw_hwc.shape[:2]
+        th = tiles_mod.next_valid_dim(h, self.size_check)
+        tw = tiles_mod.next_valid_dim(w, self.size_check)
+        img = raw_hwc.astype(np.float32)
+        if scale != 1.0:
+            img = img / np.float32(scale)
+        padded = tiles_mod.pad_to_size(img, th, tw)
+        if not hasattr(self, "_whole_jit"):
+            self._whole_jit = jax.jit(self.apply_fn)
+        x = jnp.asarray(padded)[None].astype(self.compute_dtype)
+        y = self._whole_jit(self._params, x)[0, :h, :w].astype(jnp.float32)
+        if out_dtype == "device":
+            return y
+        if out_dtype == "uint8":
+            return np.asarray(jnp.round(jnp.clip(y, 0, 1) * 255)
+                              .astype(jnp.uint8))
+        if out_dtype == "uint16":
+            return np.asarray(jnp.round(jnp.clip(y, 0, 1) * 65535)
+                              .astype(jnp.uint16))
+        return np.asarray(y).astype(out_dtype)  # fp formats: unclipped
+
 
 def resolve_apply_fn(network: str, params, activation: str = "PReLU"):
     """(apply_fn, params) for an inference engine — shared by the
@@ -384,15 +421,18 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU"):
 
 def _resolve_tiles(network: str, cs: Optional[int], ucs: Optional[int]):
     """Per-arch tile defaults + arch size-formula validation (shared by the
-    single-device and multi-device constructors so they cannot drift)."""
+    single-device and multi-device constructors so they cannot drift).
+    Returns (cs, ucs, size_check) — size_check is the arch validator (or
+    None), which TileEngine keeps for the tiny-image fallback."""
     from ..models import get_network
 
     net = get_network(network)
     if cs is None or ucs is None:
         cs, ucs = default_cs_ucs(network)
-    if hasattr(net, "check_cs"):
-        net.check_cs(cs)
-    return cs, ucs
+    check = getattr(net, "check_cs", None)
+    if check is not None:
+        check(cs)
+    return cs, ucs, check
 
 
 def make_sharded_denoiser(network: str, params, ndev: int,
@@ -418,7 +458,7 @@ def make_sharded_denoiser(network: str, params, ndev: int,
     from ..parallel import mesh as pmesh
     from ..parallel.sharded_engine import ShardedTileDenoiser
 
-    cs, ucs = _resolve_tiles(network, cs, ucs)
+    cs, ucs, _ = _resolve_tiles(network, cs, ucs)
     apply_fn, params = (resolved if resolved is not None
                         else resolve_apply_fn(network, params, activation))
     if precision == "float32":
@@ -440,6 +480,6 @@ def make_engine(network: str, params, cs: Optional[int] = None,
                 **kwargs) -> TileEngine:
     """Convenience constructor resolving per-arch tile defaults
     (autodetect_network_cs_ucs parity, denoise_image.py:59-79)."""
-    cs, ucs = _resolve_tiles(network, cs, ucs)
+    cs, ucs, check = _resolve_tiles(network, cs, ucs)
     apply_fn, params = resolve_apply_fn(network, params, activation)
-    return TileEngine(apply_fn, params, cs, ucs, **kwargs)
+    return TileEngine(apply_fn, params, cs, ucs, size_check=check, **kwargs)

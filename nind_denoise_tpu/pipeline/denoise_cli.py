@@ -203,16 +203,22 @@ def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
         else imgio.load_img_raw(str(in_fpath))
     # small-image tile adaptation (core/tiles.adapt_cs_ucs): the default
     # 504/480 tiling cannot mirror-pad images below ~246 px
-    from ..core.tiles import adapt_cs_ucs, default_cs_ucs
+    from ..core.tiles import TilingError, adapt_cs_ucs, default_cs_ucs
     from ..models import get_network
 
     network = mcfg.get("network", "UtNet")
     cs, ucs = args.cs, args.ucs
     if cs is None or ucs is None:
         cs, ucs = default_cs_ucs(network)
-    cs, ucs = adapt_cs_ucs(raw.shape[0], raw.shape[1], cs, ucs,
-                           check=getattr(get_network(network), "check_cs",
-                                         None))
+    try:
+        cs, ucs = adapt_cs_ucs(raw.shape[0], raw.shape[1], cs, ucs,
+                               check=getattr(get_network(network),
+                                             "check_cs", None))
+    except TilingError:
+        # below the minimum tiling (the reference aborts): pad-to-valid
+        # single forward (TileEngine.denoise_tiny), still device-resident
+        engine = _get_engine(mcfg, args, cs=None, ucs=None)
+        return engine.denoise_tiny(raw, scale, out_dtype="device")
     engine = _get_engine(mcfg, args, cs=cs, ucs=ucs)
     return engine.denoise_raw(raw, scale, out_dtype="device")
 
@@ -469,7 +475,9 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
     quality = args.quality or "90"
     rldeblur = not args.no_deblur
 
+    from ..core.tiles import TilingError as tiles_TilingError
     from ..core.tiles import adapt_cs_ucs
+    from ..engine.tile_engine import TileEngine
     from ..models import get_network
     from ..parallel import batch_engine
 
@@ -509,6 +517,14 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
                 batch_size=args.batch_size, resolved=(apply_fn, params))
         return engines[key]
 
+    def get_tiny() -> TileEngine:
+        """Single-device pad-to-valid engine for shapes below the minimum
+        tiling (the reference aborts on these; sharding them is pointless)."""
+        if "tiny" not in engines:
+            engines["tiny"] = TileEngine(apply_fn, params, cs, ucs,
+                                         size_check=check_cs)
+        return engines["tiny"]
+
     def write_one(f, outpath, img01_or_u8, is_u8):
         if is_u8:
             _encode_u8(img01_or_u8, outpath, quality)
@@ -523,7 +539,25 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
 
     def process_chunk(chunk, scale):
         h, w = chunk[0][1].shape[:2]
-        cs_a, ucs_a = tiling_for(h, w)
+        try:
+            cs_a, ucs_a = tiling_for(h, w)
+        except tiles_TilingError:
+            tiny = get_tiny()
+            for f, raw in chunk:
+                print(f"\n----------------- {f.name} "
+                      f"(tiny, padded forward) -----------------\n")
+                outpath = _collision_resolve(_initial_outpath(args, f))
+                out01 = tiny.denoise_tiny(raw, scale, out_dtype="device")
+                if rldeblur:
+                    _rl_array_to_file(out01, outpath, sigma,
+                                      int(iterations), quality,
+                                      verbose=args.verbose,
+                                      impl=args.rl_impl, psf=args.rl_psf)
+                    exif_mod.clone_exif(f, outpath, verbose=args.verbose)
+                else:
+                    write_one(f, outpath, out01, is_u8=False)
+                written.append(outpath)
+            return
         if len(chunk) * 2 <= ndev:
             # few images, many devices: row-band tile sharding uses the
             # WHOLE mesh per image instead of idling ndev-B devices

@@ -214,6 +214,7 @@ def _save_float_hwc(out_hwc: np.ndarray, path: str, quality: int = 95) -> None:
 
 
 def run(args) -> str:
+    from ..core.tiles import TilingError
     from ..engine.tile_engine import make_engine  # lazy: imports jax
 
     assert args.model_path is not None, "--model_path is required"
@@ -227,11 +228,17 @@ def run(args) -> str:
         ndev = 1
     if ndev > 1 and not args.whole_image:
         start_time = time.time()
-        _run_sharded(args, ndev)
-        if args.exif_method != "noexif":
-            exif_mod.clone_exif(args.input, args.output)
-        print("Elapsed time: " + str(time.time() - start_time) + " seconds")
-        return args.output
+        try:
+            _run_sharded(args, ndev)
+            if args.exif_method != "noexif":
+                exif_mod.clone_exif(args.input, args.output)
+            print("Elapsed time: " + str(time.time() - start_time)
+                  + " seconds")
+            return args.output
+        except TilingError:
+            # below the minimum tiling: sharding a tiny image is pointless;
+            # fall through to the single-device path (tiny padded forward)
+            pass
     if ndev > 1 and args.whole_image:
         start_time = time.time()
         _run_whole_spatial(args, ndev)
@@ -265,20 +272,25 @@ def run(args) -> str:
         # divide + transpose, and uint16 uploads are exact vs the f32->f16
         # wire cast)
         raw, scale = imgio.load_img_raw(args.input)
-        cs, ucs = _adapt_tiles(args, raw.shape[0], raw.shape[1])
-        engine = build_engine(cs, ucs)
+        try:
+            cs, ucs = _adapt_tiles(args, raw.shape[0], raw.shape[1])
+            engine = build_engine(cs, ucs)
+            den = lambda dt: engine.denoise_raw(raw, scale, out_dtype=dt)
+        except TilingError:
+            # below the minimum tiling (the reference aborts here):
+            # pad-to-valid single forward, crop (TileEngine.denoise_tiny)
+            print(f"Image {raw.shape[1]}x{raw.shape[0]} below the minimum "
+                  f"tiling; denoising as one padded forward")
+            engine = build_engine(args.cs, args.ucs)
+            den = lambda dt: engine.denoise_tiny(raw, scale, out_dtype=dt)
         ext = os.path.splitext(args.output)[1].lower()
         # quantize on device to minimize the downlink (engine docstring)
         if ext in (".png", ".tif"):
-            out = engine.denoise_raw(raw, scale, out_dtype="uint16")
-            imgio_save_uint16(out, args.output)
+            imgio_save_uint16(den("uint16"), args.output)
         elif ext in (".jpg", ".jpeg"):
-            out = engine.denoise_raw(raw, scale, out_dtype="uint8")
-            imgio_save_uint8(out, args.output, quality=args.quality)
+            imgio_save_uint8(den("uint8"), args.output, quality=args.quality)
         else:  # .tiff fp32, unclipped
-            out = engine.denoise_raw(raw, scale,
-                                     out_dtype="float32"
-                                     if args.precision == "float32" else "float16")
+            out = den("float32" if args.precision == "float32" else "float16")
             imgio.save_img(out.astype(np.float32).transpose(2, 0, 1), args.output)
     print(f"Denoised image written to {args.output}")
 

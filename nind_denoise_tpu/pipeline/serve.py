@@ -122,9 +122,21 @@ class DenoiseService:
     def _denoise_raw(self, raw: np.ndarray, scale: float):
         from ..core import tiles as tiles_mod
 
-        cs, ucs = tiles_mod.adapt_cs_ucs(raw.shape[0], raw.shape[1],
-                                         self.cs, self.ucs,
-                                         check=self._check_cs)
+        try:
+            cs, ucs = tiles_mod.adapt_cs_ucs(raw.shape[0], raw.shape[1],
+                                             self.cs, self.ucs,
+                                             check=self._check_cs)
+        except tiles_mod.TilingError:
+            # below the minimum tiling: pad-to-valid single forward
+            # (single-device; sharding a tiny request is pointless)
+            if "tiny" not in self._engines:
+                from ..engine.tile_engine import make_engine
+
+                self._engines["tiny"] = make_engine(
+                    self._network, self._params, activation=self._activation,
+                    compute_dtype=self._compute_dtype)
+            return self._engines["tiny"].denoise_tiny(raw, scale,
+                                                      out_dtype="device")
         return self._engine_for_cs(cs, ucs)(raw, scale)
 
     # backwards-compat hook used by tests

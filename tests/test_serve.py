@@ -130,3 +130,20 @@ def test_small_image_served(server):
     body = urllib.request.urlopen(req).read()
     out = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_UNCHANGED)
     assert out is not None and out.shape == (64, 72, 3)
+
+
+def test_tiny_image_served(server):
+    """A request below the MINIMUM tiling (adapt_cs_ucs fails even at the
+    smallest arch-valid tile) takes the pad-to-valid single-forward path
+    (TileEngine.denoise_tiny) instead of erroring — the reference aborts
+    on such inputs (denoise_image.py:151-170)."""
+    svc, base = server
+    import cv2
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 65536, (33, 47, 3), dtype=np.uint16)
+    req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                 data=_png_bytes(img), method="POST")
+    body = urllib.request.urlopen(req).read()
+    out = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_UNCHANGED)
+    assert out is not None and out.shape == (33, 47, 3)
