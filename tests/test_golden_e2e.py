@@ -65,3 +65,32 @@ def test_engine_matches_torch_reference_pipeline():
     # PSNR-style agreement: quantization-irrelevant difference
     psnr = 10 * np.log10(1.0 / np.mean((got - ref) ** 2))
     assert psnr > 80, psnr
+
+
+def test_engine_matches_torch_reference_across_shapes():
+    """Shape sweep over the stitching-adversarial cases: exact stride
+    multiples (seam lands on the border), off-by-one around them, a
+    single-tile image at exactly ucs, cs-sized, tall-thin/wide-short
+    grids, plus seeded random shapes. Any gather/scatter/feather indexing
+    bug shows up at one of these boundaries."""
+    torch.manual_seed(12)
+    tm = build_torch_utnet(funit=4).eval()
+    params = torch_import.import_utnet(tm.state_dict())
+    cs, ucs, ol = 104, 88, 6
+    stride = ucs - ol  # 82
+
+    eng = TileEngine(lambda p, x: UtNet.apply(p, x), params,
+                     cs=cs, ucs=ucs, ol=ol, batch_size=3,
+                     compute_dtype="float32")
+    rng = np.random.default_rng(6)
+    shapes = [(ucs, ucs), (cs, cs),
+              (ucs + stride, ucs + stride),          # seam exactly at border
+              (ucs + stride - 1, ucs + stride + 1),  # off-by-one both ways
+              (60, 260), (260, 60)]                  # 1xN / Nx1 tile grids
+    shapes += [tuple(rng.integers(55, 280, 2)) for _ in range(3)]
+    for h, w in shapes:
+        img = rng.random((3, int(h), int(w)), dtype=np.float32)
+        ref = torch_reference_denoise(tm, img, cs=cs, ucs=ucs, ol=ol)
+        got = eng.denoise_chw(img)
+        np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4,
+                                   err_msg=f"shape {(h, w)}")
