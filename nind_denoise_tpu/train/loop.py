@@ -15,7 +15,9 @@ keep_all_output_images}.
 TPU-native: jitted functional train steps (train/steps.py), Adam-amsgrad via
 optax, bfloat16-optional compute, and data parallelism over all visible
 devices (batch sharded on a ('data',) mesh; params replicated; XLA inserts
-the gradient all-reduce) — the reference is single-device only.
+the gradient all-reduce) — the reference is single-device only. SIGTERM /
+SIGINT trigger a graceful shutdown (finish the batch, checkpoint, exit —
+see GracefulShutdown); the reference loses the epoch in flight.
 
 egrun (dummy run first, as the reference README prescribes):
     python -m nind_denoise_tpu.train.loop --config \
@@ -30,8 +32,10 @@ import datetime
 import os
 import random
 import shutil
+import signal
 import statistics
 import sys
+import threading
 import time
 from functools import partial
 from typing import Optional
@@ -167,6 +171,52 @@ def delete_outperformed_models(dpath: str, keepers: set, model_t: str = "generat
             os.remove(fpath)
             removed.append(fpath)
     return removed
+
+
+class GracefulShutdown:
+    """Cooperative SIGTERM/SIGINT handling for preemptible training.
+
+    TPU pods (and most cluster schedulers) deliver SIGTERM with a short
+    grace window before the hard kill; the reference trainer has no handler,
+    so preemption loses everything since the last end-of-epoch checkpoint
+    (nn_train.py:351-448 saves only at epoch tails). First signal sets a
+    flag the epoch loop polls at batch boundaries — the in-flight jitted
+    step completes, a full checkpoint (params + BN state + Adam leaves) is
+    written, and main() returns cleanly so atexit/log flushing still runs.
+    A second signal restores the previous disposition and re-raises, so a
+    wedged run (e.g. stuck in a remote compile) can still be killed.
+
+    Signal handlers can only be installed from the main thread; install()
+    is a no-op elsewhere (the flag then simply never fires).
+    """
+
+    SIGNALS = (signal.SIGTERM, signal.SIGINT)
+
+    def __init__(self):
+        self._prev = {}
+        self.requested = False
+
+    def install(self):
+        if threading.current_thread() is not threading.main_thread():
+            return
+        for sig in self.SIGNALS:
+            self._prev[sig] = signal.signal(sig, self._handle)
+
+    def restore(self):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        self._prev = {}
+
+    def _handle(self, signum, frame):
+        if self.requested:  # second signal: stop cooperating
+            self.restore()
+            signal.raise_signal(signum)
+            return
+        self.requested = True
+        # async-signal context: keep IO minimal, defer Printer to the loop
+        sys.stderr.write(f"\n[signal {signum}] finishing current batch, "
+                         "then checkpointing and exiting "
+                         "(send again to force)\n")
 
 
 class GeneratorWrapper:
@@ -511,116 +561,141 @@ def main(argv=None):
     sched_rng = random.Random(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
-    for epoch in range(args.start_epoch, args.epochs):
-        loss_g, loss_g_ssim = [], []
-        loss_d_lists = [[] for _ in discs]
-        epoch_start = time.time()
+    shutdown = GracefulShutdown()
+    shutdown.install()
+    try:
+        for epoch in range(args.start_epoch, args.epochs):
+            loss_g, loss_g_ssim = [], []
+            loss_d_lists = [[] for _ in discs]
+            epoch_start = time.time()
+            batches_done = 0
 
-        for iteration, (clean_np, noisy_np) in enumerate(loader, 1):
-            if bs_clean > 0:
-                try:
-                    cb = next(clean_iter)
-                except StopIteration:
-                    clean_iter = iter(clean_loader)
-                    cb = next(clean_iter)
-                    p.print("Reloading clean_dataloader")
-                clean_np = np.concatenate([clean_np, cb[0]])
-                noisy_np = np.concatenate([noisy_np, cb[1]])
-            summary = f"Epoch {epoch} batch {iteration}/{len(loader)}: "
-            if mesh is not None:
-                clean, noisy = pmesh.shard_batch(mesh, clean_np, noisy_np)
+            for iteration, (clean_np, noisy_np) in enumerate(loader, 1):
+                if shutdown.requested:
+                    break
+                if bs_clean > 0:
+                    try:
+                        cb = next(clean_iter)
+                    except StopIteration:
+                        clean_iter = iter(clean_loader)
+                        cb = next(clean_iter)
+                        p.print("Reloading clean_dataloader")
+                    clean_np = np.concatenate([clean_np, cb[0]])
+                    noisy_np = np.concatenate([noisy_np, cb[1]])
+                summary = f"Epoch {epoch} batch {iteration}/{len(loader)}: "
+                if mesh is not None:
+                    clean, noisy = pmesh.shard_batch(mesh, clean_np, noisy_np)
+                else:
+                    clean, noisy = clean_np, noisy_np
+
+                # ---- stochastic D/G scheduling (nn_train.py:325-350) ----
+                d_learns = []
+                for di, d in enumerate(discs):
+                    learns = (d.loss + d.advantage) > sched_rng.random() or frozen_generator
+                    if learns:
+                        key, sub = jax.random.split(key)
+                        d.learn(sub, clean, noisy, gen, args.loss_cs)
+                        loss_d_lists[di].append(d.loss)
+                        summary += f"loss D{di+1}: {d.loss:.4f} ({d.predictions_range}) "
+                    d_learns.append(learns)
+
+                if not discs:
+                    g_learns = not frozen_generator
+                else:
+                    avg = statistics.mean(d.loss + d.advantage
+                                          for d, l in zip(discs, d_learns) if l) \
+                        if any(d_learns) else 0.0
+                    g_learns = not frozen_generator and (
+                        not any(d_learns) or avg < sched_rng.random())
+                if g_learns:
+                    disc_params = tuple((d.state.params, d.state.model_state)
+                                        for d in discs) + (None,) * (2 - len(discs))
+                    active_step = warmup_step if (warmup_step is not None and
+                                                  epoch - args.start_epoch <
+                                                  args.msssim_warmup_epochs) \
+                        else train_step
+                    gen.state, metrics = active_step(gen.state, clean, noisy,
+                                                     disc_params)
+                    gen.loss = {k: float(v) for k, v in metrics.items()}
+                    loss_g.append(gen.loss["weighted"])
+                    if "SSIM" in gen.loss:
+                        loss_g_ssim.append(gen.loss["SSIM"])
+                    summary += f"loss G: {gen.get_loss(pretty_printed=True)}"
+                elif frozen_generator and discs:
+                    frozen_generator = discs[0].loss > 0.33 and \
+                        (len(discs) < 2 or discs[1].loss > 0.33)
+                p.print(summary)
+                batches_done = iteration
+
+            if shutdown.requested:
+                # Preemption checkpoint: params + BN state + Adam leaves, so
+                # --g_model_path <model_dir> resumes exactly at epoch+1 (the
+                # partially trained epoch counts as done, like time_limit).
+                p.print(f"Graceful shutdown: checkpointing epoch {epoch} "
+                        f"after {batches_done}/{len(loader)} batches")
+                for di, d in enumerate(discs):
+                    d.save_model(model_dir, epoch,
+                                 "discriminator" if di == 0 else "discriminator2")
+                gen.save_model(model_dir, epoch)
+                # name the exact file: a bare dir resolves to the *best*
+                # epoch (params_io.complete_path), not this latest one
+                p.print(f"Checkpoint saved; resume with --g_model_path "
+                        f"{os.path.join(model_dir, f'generator_{epoch}.npz')}")
+                return
+
+            removed = delete_outperformed_models(
+                model_dir, keepers=jsonsaver.get_best_steps(), model_t="generator",
+                keep_all_output_images="keep_all_output_images" in debug_options)
+            if removed:
+                p.print(f"delete_outperformed_models removed {removed}")
+
+            if args.validation_interval > 0 and epoch % args.validation_interval == 0:
+                validation_loss = validate_generator(eval_step, gen, validation_set,
+                                                     args.loss_cs, val_dir(epoch))
+                jsonsaver.add_res(epoch, {"validation_loss": validation_loss},
+                                  write=False)
+                p.print(f"Validation loss: {validation_loss}")
+            if args.test_interval > 0 and epoch % args.test_interval == 0:
+                test_loss = test_generator(gen, test_set, weights, test_dir(epoch))
+                jsonsaver.add_res(epoch, {"test_loss": test_loss}, write=False)
+
+            p.print(f"Epoch {epoch} summary:")
+            p.print("Time elapsed (s): %u (epoch), %u (total)"
+                    % (time.time() - epoch_start, time.time() - start_time))
+            if loss_g_ssim:
+                jsonsaver.add_res(epoch, {"train_SSIM_loss": statistics.mean(loss_g_ssim)},
+                                  write=False)
+            if loss_g:
+                avg_loss = statistics.mean(loss_g)
+                p.print(f"Average weighted loss: {avg_loss}")
+                jsonsaver.add_res(epoch, {"train_weighted_loss": avg_loss}, write=False)
+                lr_loss = validation_loss if validation_loss is not None else avg_loss
+                if loss_hist and max(loss_hist) < lr_loss:
+                    gen.state, generator_lr = steps.decay_lr(gen.state,
+                                                             args.reduce_lr_factor)
+                    p.print(f"Generator learning rate updated to {generator_lr}")
+                loss_hist.append(lr_loss)
+                jsonsaver.add_res(epoch, {"gen_lr": generator_lr})
             else:
-                clean, noisy = clean_np, noisy_np
-
-            # ---- stochastic D/G scheduling (nn_train.py:325-350) ----
-            d_learns = []
+                p.print("Generator learned nothing")
             for di, d in enumerate(discs):
-                learns = (d.loss + d.advantage) > sched_rng.random() or frozen_generator
-                if learns:
-                    key, sub = jax.random.split(key)
-                    d.learn(sub, clean, noisy, gen, args.loss_cs)
-                    loss_d_lists[di].append(d.loss)
-                    summary += f"loss D{di+1}: {d.loss:.4f} ({d.predictions_range}) "
-                d_learns.append(learns)
-
-            if not discs:
-                g_learns = not frozen_generator
-            else:
-                avg = statistics.mean(d.loss + d.advantage
-                                      for d, l in zip(discs, d_learns) if l) \
-                    if any(d_learns) else 0.0
-                g_learns = not frozen_generator and (
-                    not any(d_learns) or avg < sched_rng.random())
-            if g_learns:
-                disc_params = tuple((d.state.params, d.state.model_state)
-                                    for d in discs) + (None,) * (2 - len(discs))
-                active_step = warmup_step if (warmup_step is not None and
-                                              epoch - args.start_epoch <
-                                              args.msssim_warmup_epochs) \
-                    else train_step
-                gen.state, metrics = active_step(gen.state, clean, noisy,
-                                                 disc_params)
-                gen.loss = {k: float(v) for k, v in metrics.items()}
-                loss_g.append(gen.loss["weighted"])
-                if "SSIM" in gen.loss:
-                    loss_g_ssim.append(gen.loss["SSIM"])
-                summary += f"loss G: {gen.get_loss(pretty_printed=True)}"
-            elif frozen_generator and discs:
-                frozen_generator = discs[0].loss > 0.33 and \
-                    (len(discs) < 2 or discs[1].loss > 0.33)
-            p.print(summary)
-
-        removed = delete_outperformed_models(
-            model_dir, keepers=jsonsaver.get_best_steps(), model_t="generator",
-            keep_all_output_images="keep_all_output_images" in debug_options)
-        if removed:
-            p.print(f"delete_outperformed_models removed {removed}")
-
-        if args.validation_interval > 0 and epoch % args.validation_interval == 0:
-            validation_loss = validate_generator(eval_step, gen, validation_set,
-                                                 args.loss_cs, val_dir(epoch))
-            jsonsaver.add_res(epoch, {"validation_loss": validation_loss},
-                              write=False)
-            p.print(f"Validation loss: {validation_loss}")
-        if args.test_interval > 0 and epoch % args.test_interval == 0:
-            test_loss = test_generator(gen, test_set, weights, test_dir(epoch))
-            jsonsaver.add_res(epoch, {"test_loss": test_loss}, write=False)
-
-        p.print(f"Epoch {epoch} summary:")
-        p.print("Time elapsed (s): %u (epoch), %u (total)"
-                % (time.time() - epoch_start, time.time() - start_time))
-        if loss_g_ssim:
-            jsonsaver.add_res(epoch, {"train_SSIM_loss": statistics.mean(loss_g_ssim)},
-                              write=False)
-        if loss_g:
-            avg_loss = statistics.mean(loss_g)
-            p.print(f"Average weighted loss: {avg_loss}")
-            jsonsaver.add_res(epoch, {"train_weighted_loss": avg_loss}, write=False)
-            lr_loss = validation_loss if validation_loss is not None else avg_loss
-            if loss_hist and max(loss_hist) < lr_loss:
-                gen.state, generator_lr = steps.decay_lr(gen.state,
-                                                         args.reduce_lr_factor)
-                p.print(f"Generator learning rate updated to {generator_lr}")
-            loss_hist.append(lr_loss)
-            jsonsaver.add_res(epoch, {"gen_lr": generator_lr})
-        else:
-            p.print("Generator learned nothing")
-        for di, d in enumerate(discs):
-            if loss_d_lists[di]:
-                avg_d = statistics.mean(loss_d_lists[di])
-                p.print(f"Discriminator{di+1} average normalized loss: {avg_d}")
-                disc_lrs[di] = d.update_learning_rate(avg_d)
-                d.save_model(model_dir, epoch,
-                             "discriminator" if di == 0 else "discriminator2")
-        if not frozen_generator:
-            gen.save_model(model_dir, epoch)
-        if args.time_limit and args.time_limit < time.time() - start_time:
-            p.print("Time is up")
-            return
-        if args.min_lr and generator_lr < args.min_lr and \
-                all(lr is None or lr < args.min_lr for lr in disc_lrs):
-            p.print("Minimum learning rate reached")
-            return
+                if loss_d_lists[di]:
+                    avg_d = statistics.mean(loss_d_lists[di])
+                    p.print(f"Discriminator{di+1} average normalized loss: {avg_d}")
+                    disc_lrs[di] = d.update_learning_rate(avg_d)
+                    d.save_model(model_dir, epoch,
+                                 "discriminator" if di == 0 else "discriminator2")
+            if not frozen_generator:
+                gen.save_model(model_dir, epoch)
+            if args.time_limit and args.time_limit < time.time() - start_time:
+                p.print("Time is up")
+                return
+            if args.min_lr and generator_lr < args.min_lr and \
+                    all(lr is None or lr < args.min_lr for lr in disc_lrs):
+                p.print("Minimum learning rate reached")
+                return
+    finally:
+        shutdown.restore()
 
 
 if __name__ == "__main__":

@@ -261,3 +261,56 @@ def test_discriminator_learn_step():
     for _ in range(5):
         lr = d.update_learning_rate(1.0)
     assert lr < lr0
+
+
+@pytest.mark.slow  # drives the full loop for ~1.5 epochs
+def test_train_loop_graceful_shutdown(cropped_ds_104, validation_yaml_104,
+                                      tmp_path):
+    """SIGTERM mid-training: the loop finishes the in-flight batch, writes a
+    full resume checkpoint (params + opt leaves + epoch), logs the shutdown,
+    returns cleanly, and restores the previous signal disposition."""
+    import signal
+    import threading
+    import time
+
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.train import loop
+
+    models_dir = str(tmp_path / "models")
+
+    def fire_after_first_checkpoint():
+        # wait for epoch 1's checkpoint so the signal lands mid-epoch-2;
+        # the handler is installed before any checkpoint can exist
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            for root, _, files in os.walk(models_dir):
+                if any(f.startswith("generator_") for f in files):
+                    os.kill(os.getpid(), signal.SIGTERM)
+                    return
+            time.sleep(0.05)
+
+    prev_term = signal.getsignal(signal.SIGTERM)
+    watcher = threading.Thread(target=fire_after_first_checkpoint, daemon=True)
+    watcher.start()
+    loop.main([
+        "--train_data", cropped_ds_104,
+        "--models_dpath", models_dir,
+        "--test_reserve", "0",
+        "--g_network", "UtNet", "--g_funit", "2",
+        "--cs", "104", "--loss_cs", "96",
+        "--weight_MSE", "1", "--weight_MSSSIM", "0",
+        "--batch_size", "2", "--epochs", "9999", "--start_epoch", "1",
+        "--g_lr", "1e-3", "--beta1", "0.5",
+        "--validation_set_yaml", validation_yaml_104,
+        "--threads", "1",
+    ])  # returns (no SystemExit / KeyboardInterrupt) = graceful path taken
+    watcher.join(timeout=10)
+    assert signal.getsignal(signal.SIGTERM) == prev_term  # restored
+
+    exp = os.path.join(models_dir, os.listdir(models_dir)[0])
+    log = open(os.path.join(exp, "train.log")).read()
+    assert "Graceful shutdown: checkpointing epoch" in log
+
+    best = params_io.complete_path(exp, keyword="generator")
+    tree = params_io.load(best)
+    assert "params" in tree and "opt" in tree and "epoch" in tree
