@@ -314,3 +314,35 @@ def test_train_loop_graceful_shutdown(cropped_ds_104, validation_yaml_104,
     best = params_io.complete_path(exp, keyword="generator")
     tree = params_io.load(best)
     assert "params" in tree and "opt" in tree and "epoch" in tree
+
+
+def test_graceful_shutdown_signal_protocol():
+    """First signal only sets the flag; the second restores the previous
+    disposition and re-raises (SIGINT -> KeyboardInterrupt); install() from
+    a non-main thread is a no-op."""
+    import signal
+    import threading
+
+    from nind_denoise_tpu.train.loop import GracefulShutdown
+
+    prev_int = signal.getsignal(signal.SIGINT)
+    prev_term = signal.getsignal(signal.SIGTERM)
+    gs = GracefulShutdown()
+    gs.install()
+    try:
+        assert not gs.requested
+        signal.raise_signal(signal.SIGINT)
+        assert gs.requested  # first signal: cooperative, no exception
+        with pytest.raises(KeyboardInterrupt):
+            signal.raise_signal(signal.SIGINT)  # second: stop cooperating
+        assert signal.getsignal(signal.SIGINT) == prev_int  # restored
+        assert signal.getsignal(signal.SIGTERM) == prev_term
+    finally:
+        gs.restore()
+
+    gs2 = GracefulShutdown()
+    t = threading.Thread(target=gs2.install)
+    t.start()
+    t.join()
+    assert signal.getsignal(signal.SIGTERM) == prev_term  # untouched
+    gs2.restore()
