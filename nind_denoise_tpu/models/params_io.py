@@ -89,10 +89,15 @@ def load(fpath: str) -> Any:
 
 
 def find_highest(dpath: str, keyword: str) -> Optional[str]:
-    """Highest-epoch checkpoint file ``<keyword>_<epoch>.(npz|pt)`` in dpath."""
+    """Highest-epoch checkpoint file ``<keyword>_<epoch>.(npz|pt)`` in dpath.
+
+    The keyword must be followed directly by ``_<epoch>`` so that
+    ``discriminator`` does not also match ``discriminator2_*`` files (the
+    reference's substring match, nn_common.py find_highest, had that
+    ambiguity)."""
     best, best_epoch = None, -1
     for fn in os.listdir(dpath):
-        m = re.match(rf"{re.escape(keyword)}.*_(\d+)\.(npz|pt|pth)$", fn)
+        m = re.match(rf"{re.escape(keyword)}_(\d+)\.(npz|pt|pth)$", fn)
         if m and int(m.group(1)) > best_epoch:
             best, best_epoch = fn, int(m.group(1))
     return os.path.join(dpath, best) if best else None

@@ -44,7 +44,8 @@ class ReduceLROnPlateau:
 class DiscriminatorWrapper:
     def __init__(self, args, network: str, funit: int, lr: Optional[float],
                  conditional: bool, seed: int, advantage: float = 0.0,
-                 patience: int = 3, model_path: Optional[str] = None):
+                 patience: int = 3, model_path: Optional[str] = None,
+                 keyword: str = "discriminator"):
         import jax
 
         from ..models import get_network
@@ -57,18 +58,28 @@ class DiscriminatorWrapper:
         in_ch = 6 if conditional else 3
         params, bn_state = self.net.init(jax.random.PRNGKey(seed),
                                          input_channels=in_ch, funit=funit)
+        opt_leaves = sched = None
         if model_path:
             loaded = params_io.load(params_io.complete_path(
-                model_path, args.models_dpath, "discriminator"))
+                model_path, args.models_dpath, keyword))
             params = loaded.get("params", loaded)
             bn_state = loaded.get("state", bn_state)
+            opt_leaves = loaded.get("opt")
+            sched = loaded.get("sched")
         self.optimizer = steps.make_optimizer(self.lr, args.beta1, amsgrad=False)
-        self.state = steps.TrainState(params, self.optimizer.init(params), bn_state)
+        opt_state = (steps.restore_opt_state(self.optimizer, params, opt_leaves)
+                     if opt_leaves is not None else self.optimizer.init(params))
+        self.state = steps.TrainState(params, opt_state, bn_state)
         self._step = steps.make_discriminator_train_step(
             lambda p, s, x, train: self.net.apply(p, x, s, train=train),
             self.optimizer, conditional=conditional)
         self.scheduler = ReduceLROnPlateau(self.lr, factor=0.75,
                                            patience=patience)
+        if sched is not None:  # exact plateau-scheduler resume
+            self.scheduler.lr = self.lr = float(sched["lr"])
+            self.scheduler.best = float(sched["best"])
+            self.scheduler.num_bad = int(sched["num_bad"])
+            self.state = steps.set_lr(self.state, self.lr)
         self.loss = 1.0
         self.predictions_range = None
 
@@ -114,6 +125,16 @@ class DiscriminatorWrapper:
         return new_lr
 
     def save_model(self, model_dir: str, epoch: int, name: str) -> None:
+        """Params + BN state + Adam leaves + plateau-scheduler state, so a
+        cGAN resume is exact (the reference saved only the state_dict,
+        nn_common.py:300-305 — its resumed discriminators restart Adam
+        moments and the plateau window)."""
+        from . import steps
+
         params_io.save({"params": self.state.params,
-                        "state": self.state.model_state},
+                        "state": self.state.model_state,
+                        "opt": steps.opt_state_leaves(self.state.opt_state),
+                        "sched": {"lr": self.scheduler.lr,
+                                  "best": self.scheduler.best,
+                                  "num_bad": self.scheduler.num_bad}},
                        os.path.join(model_dir, f"{name}_{epoch}.npz"))

@@ -500,12 +500,14 @@ def main(argv=None):
         discs.append(gan_mod.DiscriminatorWrapper(
             args, network=args.d_network, funit=args.d_funit, lr=args.d_lr,
             conditional=not args.not_conditional, seed=args.seed + 1,
-            advantage=args.discriminator_advantage, patience=args.patience))
+            advantage=args.discriminator_advantage, patience=args.patience,
+            model_path=args.d_model_path, keyword="discriminator"))
     if use_d2:
         discs.append(gan_mod.DiscriminatorWrapper(
             args, network=args.d2_network, funit=args.d2_funit, lr=args.d2_lr,
             conditional=not args.not_conditional_2, seed=args.seed + 2,
-            advantage=args.discriminator2_advantage, patience=args.patience))
+            advantage=args.discriminator2_advantage, patience=args.patience,
+            model_path=args.d2_model_path, keyword="discriminator2"))
 
     disc_apply_fns = tuple(d.pred_fn for d in discs) + (None,) * (2 - len(discs))
     train_step = steps.make_generator_train_step(

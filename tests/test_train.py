@@ -263,6 +263,66 @@ def test_discriminator_learn_step():
     assert lr < lr0
 
 
+@pytest.mark.slow  # two Hul112Disc builds + three jitted learn steps (~80 s)
+def test_discriminator_exact_resume(tmp_path):
+    """save_model -> DiscriminatorWrapper(model_path=...) restores params,
+    Adam moments, and the plateau-scheduler window exactly: the next learn
+    step from the resumed wrapper bit-matches the uninterrupted one.  (The
+    reference saved only the state_dict, nn_common.py:300-305 — its resumed
+    discriminators restart Adam and the plateau window; this is a deliberate
+    improvement, like the generator's exact resume.)"""
+    import jax
+
+    from nind_denoise_tpu.train import gan
+
+    class A:
+        beta1 = 0.5
+        models_dpath = None
+
+    class G:  # identity "generator"
+        class state:
+            params = {}
+            model_state = None
+        apply_fn = staticmethod(lambda p, x: x)
+
+    rng = np.random.default_rng(1)
+    clean = rng.random((2, 120, 120, 3)).astype(np.float32)
+    noisy = np.clip(clean + 0.1, 0, 1)
+
+    d = gan.DiscriminatorWrapper(A, network="Hul112Disc", funit=2, lr=1e-4,
+                                 conditional=True, seed=0, patience=2)
+    d.learn(jax.random.PRNGKey(0), clean, noisy, G, loss_cs=112)
+    d.update_learning_rate(1.0)  # sets best=1.0
+    d.update_learning_rate(1.0)  # num_bad=1: mid-window scheduler state
+    d.save_model(str(tmp_path), 3, "discriminator")
+    assert (tmp_path / "discriminator_3.npz").exists()
+
+    r = gan.DiscriminatorWrapper(A, network="Hul112Disc", funit=2, lr=1e-4,
+                                 conditional=True, seed=99, patience=2,
+                                 model_path=str(tmp_path),
+                                 keyword="discriminator")
+    assert r.scheduler.best == d.scheduler.best
+    assert r.scheduler.num_bad == d.scheduler.num_bad == 1
+    assert r.lr == d.lr
+
+    # identical next step: same loss scalar and identical params after it
+    d.loss = r.loss = 1.0  # align the fake_is_noisy branch
+    d.learn(jax.random.PRNGKey(7), clean, noisy, G, loss_cs=112)
+    r.learn(jax.random.PRNGKey(7), clean, noisy, G, loss_cs=112)
+    assert d.loss == r.loss
+    for a, b in zip(jax.tree_util.tree_leaves(d.state.params),
+                    jax.tree_util.tree_leaves(r.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # keyword disambiguation: a discriminator2 file must not shadow it
+    d.save_model(str(tmp_path), 9, "discriminator2")
+    from nind_denoise_tpu.models import params_io
+    assert params_io.complete_path(str(tmp_path), keyword="discriminator") \
+        .endswith("discriminator_3.npz")
+    assert params_io.complete_path(str(tmp_path), keyword="discriminator2") \
+        .endswith("discriminator2_9.npz")
+
+
 @pytest.mark.slow  # drives the full loop for ~1.5 epochs
 def test_train_loop_graceful_shutdown(cropped_ds_104, validation_yaml_104,
                                       tmp_path):
