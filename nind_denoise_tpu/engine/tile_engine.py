@@ -369,12 +369,27 @@ class TileEngine:
         h, w = raw_hwc.shape[:2]
         th = tiles_mod.next_valid_dim(h, self.size_check)
         tw = tiles_mod.next_valid_dim(w, self.size_check)
+        c = raw_hwc.shape[2]
+        # same guard rail as denoise_raw: this path engages automatically
+        # (thin strips can be arbitrarily long in the other dimension), so
+        # --max_subpixels must bound the single forward it dispatches too
+        if self.max_subpixels is not None and th * tw * c > self.max_subpixels:
+            raise RuntimeError(
+                f"TileEngine: tiny-image forward of {th * tw * c} subpixels "
+                f"exceeds max_subpixels={self.max_subpixels}")
         img = raw_hwc.astype(np.float32)
         if scale != 1.0:
             img = img / np.float32(scale)
         padded = tiles_mod.pad_to_size(img, th, tw)
         if not hasattr(self, "_whole_jit"):
-            self._whole_jit = jax.jit(self.apply_fn)
+            fwd = self.apply_fn
+            if self.precision == "float32":
+                base = fwd
+
+                def fwd(p, t):
+                    with jax.default_matmul_precision("highest"):
+                        return base(p, t)
+            self._whole_jit = jax.jit(fwd)
         x = jnp.asarray(padded)[None].astype(self.compute_dtype)
         y = self._whole_jit(self._params, x)[0, :h, :w].astype(jnp.float32)
         if out_dtype == "device":

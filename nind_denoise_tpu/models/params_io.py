@@ -158,3 +158,28 @@ def load_generator(model_path: str, network: str, models_dpath: Optional[str] = 
             return res
         return res, None
     raise ValueError(f"unsupported checkpoint format: {fpath}")
+
+
+def load_discriminator(model_path: str, network: str,
+                       models_dpath: Optional[str] = None,
+                       keyword: str = "discriminator") -> Dict[str, Any]:
+    """Resolve + load a discriminator checkpoint.
+
+    Returns ``{"params", "state", "opt", "sched"}`` where ``opt``/``sched``
+    are None unless the checkpoint is a native .npz that bundled them
+    (torch .pt state_dicts carry neither, so a resume from one restarts
+    Adam and the plateau window — matching what the reference itself did
+    on every resume, nn_common.py:300-305)."""
+    fpath = complete_path(model_path, models_dpath, keyword)
+    if fpath.endswith(".npz"):
+        tree = load(fpath)
+        if isinstance(tree, dict) and "params" in tree:
+            return {"params": tree["params"], "state": tree.get("state"),
+                    "opt": tree.get("opt"), "sched": tree.get("sched")}
+        return {"params": tree, "state": None, "opt": None, "sched": None}
+    if fpath.endswith((".pt", ".pth")):
+        from . import torch_import
+
+        params, state = torch_import.import_checkpoint(fpath, network)
+        return {"params": params, "state": state, "opt": None, "sched": None}
+    raise ValueError(f"unsupported checkpoint format: {fpath}")

@@ -206,6 +206,73 @@ def import_mobilenetv3(fpath_or_sd) -> Tuple[Dict, Dict]:
     return params, state
 
 
+def import_hul_disc(fpath_or_sd, network: str) -> Tuple[Dict, Dict]:
+    """Hul discriminator family torch state_dict -> (params, state).
+
+    The reference builds every block as an nn.Sequential of
+    Conv2d -> activation -> [BatchNorm2d] triples (Hul112Disc
+    Hul.py:255-417, Hulb112Disc :663-802 [no BN], Hull112Disc :806-968
+    [LeakyReLU], Hulf112Disc :972-1134 [6-ch, wide]), so state_dict keys
+    are ``<block>.<seq_idx>.<param>``. PReLU carries a scalar ``weight``;
+    LeakyReLU is parameterless but still occupies a Sequential slot; the
+    decide head's last conv has no activation module after it.
+
+    Only the ``finalpool=False`` wiring is supported (the rebuild's
+    models/hul.py implements that branch); finalpool checkpoints have a
+    different decide head (1x1 first conv instead of 2x2) and are rejected
+    with a shape check. ``funit``/``input_channels`` are inferred from the
+    first conv's weight.
+    """
+    from . import hul
+
+    sd = fpath_or_sd if isinstance(fpath_or_sd, dict) else load_state_dict(fpath_or_sd)
+    cls = {"Hul112Disc": hul.Hul112Disc, "Hulb112Disc": hul.Hulb112Disc,
+           "Hull112Disc": hul.Hull112Disc, "Hulf112Disc": hul.Hulf112Disc}[network]
+    dk = "decide.0.weight"
+    if sd[dk].shape[-1] != cls.plan["decide"][0][2]:
+        raise ValueError(
+            f"{network}: decide head kernel {tuple(sd[dk].shape)} does not "
+            "match the finalpool=False wiring (finalpool checkpoints are "
+            "not supported)")
+    params: Dict = {}
+    state: Dict = {}
+    for bname, specs in cls.plan.items():
+        bp, bs = [], []
+        idx = 0
+        for li, (_cin_m, _cout_m, k, _dil, _stride, bias, bn) in enumerate(specs):
+            key = f"{bname}.{idx}.weight"
+            w = sd[key]
+            if w.shape[-1] != k:
+                raise ValueError(f"{network}: {key} kernel {tuple(w.shape)} "
+                                 f"!= plan k={k}")
+            layer = {"w": conv_w(w)}
+            if bias:
+                layer["b"] = _np(sd[f"{bname}.{idx}.bias"])
+            idx += 1
+            last_decide = bname == "decide" and li == len(specs) - 1
+            if not last_decide:
+                if cls.activation == "PReLU":
+                    layer["a"] = _np(sd[f"{bname}.{idx}.weight"]).reshape(())
+                idx += 1  # activation occupies a Sequential slot either way
+            if bn and cls.use_bn:
+                layer["bn"] = {"scale": _np(sd[f"{bname}.{idx}.weight"]),
+                               "bias": _np(sd[f"{bname}.{idx}.bias"])}
+                bs.append({"mean": _np(sd[f"{bname}.{idx}.running_mean"]),
+                           "var": _np(sd[f"{bname}.{idx}.running_var"])})
+                idx += 1
+            else:
+                bs.append(None)
+            bp.append(layer)
+        params[bname] = bp
+        state[bname] = bs
+    if "out_activation.weight" in sd:
+        params["_out_a"] = _np(sd["out_activation.weight"]).reshape(())
+    return params, state
+
+
+_HUL_DISCS = ("Hul112Disc", "Hulb112Disc", "Hull112Disc", "Hulf112Disc")
+
+
 def import_checkpoint(fpath: str, network: str, **kwargs):
     """Dispatch by architecture name. Returns params or (params, state)."""
     if network == "UtNet":
@@ -214,4 +281,6 @@ def import_checkpoint(fpath: str, network: str, **kwargs):
         return import_unet(fpath, **kwargs)
     if network == "MobileNetV3":
         return import_mobilenetv3(fpath)
+    if network in _HUL_DISCS:
+        return import_hul_disc(fpath, network)
     raise NotImplementedError(f"torch import for {network}")

@@ -266,16 +266,10 @@ def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, sem_u, sem_d, sem_o, *,
         # row replicate fix (rows are sublanes here): abs row = i*band_h-r+e
         e0 = i * band_h - r
         iota_e = jax.lax.broadcasted_iota(jnp.int32, (est_rows, est_cols), 0)
-        # TOP: abs row 0 sits at slot r - i*band_h. The mask (abs < 0) can
-        # fire in band 0 always and in band 1 iff r >= band_h (very wide
-        # images shrink band_h below wide-sigma radii); Mosaic has no
-        # dynamic value slicing, so select between the two STATIC slices
-        # by band index (the unused one is masked off anyway).
-        top0 = ratio[r:r + 1, :]
-        t1 = r - band_h
-        top1 = ratio[t1:t1 + 1, :] if t1 >= 0 else top0
-        top_src = jnp.where(i == 0, top0, top1)
-        ratio = jnp.where(iota_e + e0 < 0, top_src, ratio)
+        # TOP: abs row 0 sits at slot r (band 0 only: _fused_band_h
+        # guarantees band_h >= r, so e0 = i*band_h - r >= 0 for every
+        # later band and the (abs < 0) mask cannot fire there).
+        ratio = jnp.where(iota_e + e0 < 0, ratio[r:r + 1, :], ratio)
         # BOTTOM: abs row h-1 sits at slot h-1 - (i*band_h - r) =
         # e_src + (n_bands-1-i)*band_h. The mask (abs > h-1) fires in the
         # LAST band and — when the tail band holds fewer than r real rows

@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.tiles import TilePlan
 from ..engine import device_stitch
+from ..engine.tile_engine import _bucket as _shared_bucket
 
 
 class DeviceBatchDenoiser:
@@ -106,11 +107,9 @@ class DeviceBatchDenoiser:
         self._step_cache[key] = jitted
         return jitted
 
-    BUCKET = 512
-
-    @staticmethod
-    def _bucket(n: int, m: int = 512) -> int:
-        return ((n + m - 1) // m) * m
+    # the single-device engine's bucketing, so the two program-reuse
+    # granularities can never desynchronize
+    _bucket = staticmethod(_shared_bucket)
 
     def denoise_batch(self, imgs: np.ndarray, scale: float = 1.0,
                       keep_padded: bool = False):
@@ -131,9 +130,10 @@ class DeviceBatchDenoiser:
         plan = TilePlan(h, w, self.cs, self.ucs, self.ol)
         padded = np.stack([plan.pad_image(imgs[i]) for i in range(b)])
         if b < self.ndev:  # pad the batch so the image axis divides the mesh
-            # zero dummies: compress on the wire and RL is a no-op on them
-            # (d=0 -> ratio=0 -> u stays 0), unlike repeated full images
-            # that would burn idle devices on work that is cropped off
+            # zero dummies compress on the wire. NOTE the network output on a
+            # zero image is NOT zero (biases/PReLU) and any post-op (RL) does
+            # full work on it per-device; correctness relies solely on the
+            # final out[:b] crop discarding the dummy devices' results.
             padded = np.concatenate(
                 [padded, np.zeros((self.ndev - b,) + padded.shape[1:],
                                   padded.dtype)])

@@ -36,7 +36,9 @@ def main(argv=None):
     ap.add_argument("src", help="torch checkpoint (.pt state_dict or .pth)")
     ap.add_argument("dst", nargs="?", help="output .npz (default: src with .npz)")
     ap.add_argument("--network", default="UtNet",
-                    help="architecture (UtNet, UNet, MobileNetV3)")
+                    help="architecture (UtNet, UNet, MobileNetV3, or a Hul "
+                         "discriminator: Hul112Disc/Hulb112Disc/"
+                         "Hull112Disc/Hulf112Disc)")
     args = ap.parse_args(argv)
     dst = args.dst or os.path.splitext(args.src)[0] + ".npz"
     try:

@@ -60,12 +60,12 @@ class DiscriminatorWrapper:
                                          input_channels=in_ch, funit=funit)
         opt_leaves = sched = None
         if model_path:
-            loaded = params_io.load(params_io.complete_path(
-                model_path, args.models_dpath, keyword))
-            params = loaded.get("params", loaded)
-            bn_state = loaded.get("state", bn_state)
-            opt_leaves = loaded.get("opt")
-            sched = loaded.get("sched")
+            loaded = params_io.load_discriminator(
+                model_path, network, args.models_dpath, keyword)
+            params = loaded["params"]
+            bn_state = loaded["state"] if loaded["state"] is not None else bn_state
+            opt_leaves = loaded["opt"]
+            sched = loaded["sched"]
         self.optimizer = steps.make_optimizer(self.lr, args.beta1, amsgrad=False)
         opt_state = (steps.restore_opt_state(self.optimizer, params, opt_leaves)
                      if opt_leaves is not None else self.optimizer.init(params))

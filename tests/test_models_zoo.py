@@ -167,3 +167,103 @@ def test_hulf112_shapes():
     params, state = hul.Hulf112Disc.init(jax.random.PRNGKey(0), funit=1)
     y, _ = hul.Hulf112Disc.apply(params, jnp.zeros((1, 112, 112, 6)), state)
     assert y.shape[0] == 1 and y.shape[-1] == 1
+
+
+def _build_hul_twin(cls, input_channels, funit):
+    """Torch twin of a Hul discriminator built from the declarative plan
+    (independent of models/torch_import.py): Sequential blocks of
+    Conv2d -> activation -> [BatchNorm2d], mirroring the reference's module
+    layout (Hul.py:255-417 and variants)."""
+    torch.manual_seed(0)
+    m = nn.Module()
+    for bname, specs in cls.plan.items():
+        seq = []
+        for li, (cin_m, cout_m, k, dil, stride, bias, bn) in enumerate(specs):
+            cin = input_channels if cin_m is None else cin_m * funit
+            cout = max(1, cout_m * funit) if cout_m else 1
+            seq.append(nn.Conv2d(cin, cout, k, stride=stride, dilation=dil,
+                                 bias=bias))
+            if not (bname == "decide" and li == len(specs) - 1):
+                seq.append(nn.PReLU(init=0.01) if cls.activation == "PReLU"
+                           else nn.LeakyReLU())
+            if bn and cls.use_bn:
+                b = nn.BatchNorm2d(cout)
+                # randomize affine + running stats so the import mapping of
+                # all four BN tensors is actually exercised
+                with torch.no_grad():
+                    b.weight.uniform_(0.5, 1.5)
+                    b.bias.uniform_(-0.3, 0.3)
+                    b.running_mean.uniform_(-0.2, 0.2)
+                    b.running_var.uniform_(0.5, 1.5)
+                seq.append(b)
+        m.add_module(bname, nn.Sequential(*seq))
+    m.out_activation = nn.PReLU(init=0.01)
+    return m.eval()
+
+
+def _hul_twin_forward(m, x):
+    """Reference dataflow (Hul.py forward, :400-417): std/dil concat pairs
+    with the 112->102 dilated branch fed from the raw input."""
+    cat = lambda a, b: torch.cat([a, b], 1)
+    layer = cat(m.enc112to108std(x), m.enc112to108dil(x))
+    layer = cat(m.enc108to104std(layer), m.enc108to104dil(layer))
+    layer = cat(m.enc104to102std(layer), m.enc112to102dil(x))
+    layer = m.enc102to34str(layer)
+    for lvl in ("34to30", "30to26", "26to22", "22to18"):
+        layer = cat(getattr(m, f"enc{lvl}std")(layer),
+                    getattr(m, f"enc{lvl}dil")(layer))
+    layer = m.enc18to6str(layer)
+    layer = cat(m.enc6to2std(layer), m.enc6to2dil(layer))
+    return m.out_activation(m.decide(layer))
+
+
+@pytest.mark.parametrize("net,in_ch", [("Hul112Disc", 3), ("Hulb112Disc", 3),
+                                       ("Hull112Disc", 3), ("Hulf112Disc", 6)])
+def test_hul_disc_torch_import_parity(net, in_ch, tmp_path):
+    """import_hul_disc maps a reference-layout state_dict so that the JAX
+    forward matches the torch twin (eval mode, running BN stats)."""
+    cls = getattr(hul, net)
+    twin = _build_hul_twin(cls, in_ch, funit=2)
+    fp = str(tmp_path / f"discriminator_5.pt")
+    torch.save(twin.state_dict(), fp)
+
+    params, state = torch_import.import_hul_disc(fp, net)
+    rng = np.random.default_rng(7)
+    x = rng.random((2, in_ch, 112, 112), dtype=np.float32)
+    with torch.no_grad():
+        ref = _hul_twin_forward(twin, torch.from_numpy(x)).numpy()
+    got, _ = cls.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)), state,
+                       train=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_hul_disc_import_rejects_finalpool(tmp_path):
+    """finalpool=True checkpoints have a 1x1 first decide conv; the importer
+    must reject them instead of silently mis-wiring."""
+    twin = _build_hul_twin(hul.Hul112Disc, 3, funit=2)
+    sd = twin.state_dict()
+    sd["decide.0.weight"] = torch.zeros((4, 12, 1, 1))
+    with pytest.raises(ValueError, match="finalpool"):
+        torch_import.import_hul_disc(sd, "Hul112Disc")
+
+
+def test_discriminator_wrapper_loads_pt(tmp_path):
+    """DiscriminatorWrapper(model_path=<dir with .pt>) imports the torch
+    state_dict (fresh Adam/scheduler, matching a reference-era resume)."""
+    from nind_denoise_tpu.train import gan
+
+    twin = _build_hul_twin(hul.Hul112Disc, 6, funit=2)
+    torch.save(twin.state_dict(), str(tmp_path / "discriminator_7.pt"))
+
+    class A:
+        beta1 = 0.5
+        models_dpath = None
+
+    d = gan.DiscriminatorWrapper(A, network="Hul112Disc", funit=2, lr=1e-4,
+                                 conditional=True, seed=0,
+                                 model_path=str(tmp_path))
+    ref_w = twin.decide[2].weight.detach().numpy()
+    got_w = np.asarray(d.state.params["decide"][1]["w"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(got_w, ref_w, atol=0)

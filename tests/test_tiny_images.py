@@ -177,3 +177,49 @@ def test_pipeline_dir_batch_with_tiny_images(tmp_path, ckpt):
         assert a.shape == b.shape
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert diff.max() <= 1, (n, diff.max())
+
+
+def test_denoise_tiny_respects_max_subpixels(params):
+    """The tiny fallback engages automatically (thin strips can be long in
+    the other dimension), so --max_subpixels must bound its single whole
+    forward exactly like denoise_raw's batch guard (review r3)."""
+    from nind_denoise_tpu.engine.tile_engine import make_engine
+
+    raw = np.zeros((20, 600, 3), np.uint8)  # pads to >= 64 x 640
+    eng = make_engine("UtNet", params, compute_dtype="float32",
+                      max_subpixels=10_000)
+    with pytest.raises(RuntimeError, match="max_subpixels"):
+        eng.denoise_tiny(raw, 255.0, out_dtype="float32")
+    # generous budget: runs
+    eng2 = make_engine("UtNet", params, compute_dtype="float32",
+                       max_subpixels=10_000_000)
+    out = eng2.denoise_tiny(raw, 255.0, out_dtype="float32")
+    assert out.shape == raw.shape
+
+
+def test_denoise_tiny_honors_float32_precision(params):
+    """precision='float32' must wrap the tiny forward in
+    default_matmul_precision('highest') like the tiled step does — the
+    documented bit-parity mode can't silently drop to fast matmuls on the
+    tiny path (review r3). On CPU both precisions are exact, so assert the
+    wrapper is installed rather than comparing numerics."""
+    import jax as _jax
+
+    from nind_denoise_tpu.engine import tile_engine as te
+
+    raw = np.zeros((60, 60, 3), np.uint8)
+    eng = make_engine_f32 = te.make_engine(
+        "UtNet", params, compute_dtype="float32", precision="float32")
+    seen = []
+    orig = _jax.default_matmul_precision
+
+    def spy(level):
+        seen.append(level)
+        return orig(level)
+
+    _jax.default_matmul_precision, te.jax.default_matmul_precision = spy, spy
+    try:
+        eng.denoise_tiny(raw, 255.0, out_dtype="float32")
+    finally:
+        _jax.default_matmul_precision = te.jax.default_matmul_precision = orig
+    assert "highest" in seen
