@@ -270,7 +270,47 @@ def import_hul_disc(fpath_or_sd, network: str) -> Tuple[Dict, Dict]:
     return params, state
 
 
+def import_hul_gen(fpath_or_sd, network: str) -> Dict:
+    """Hulb128Net / Hulbs128Net torch state_dict -> params.
+
+    Reference layout (Hul.py:12-250 Hulb, :421-658 Hulbs): Sequential
+    blocks of (Conv2d|ConvTranspose2d) -> activation, no BatchNorm; PReLU
+    carries a scalar ``weight``, SELU (Hulbs) is parameterless but still
+    occupies a Sequential slot; the final head's 1x1 ConvTranspose2d has no
+    activation module after it (Hul.py:197-202); the module-level
+    ``activation`` attribute holds the optional output PReLU (:204-213).
+    Transposed-conv weights (I, O, kh, kw) pre-lower to flipped HWIO plain
+    -conv kernels (1x1 tconv == 1x1 conv, flip is a no-op)."""
+    from . import hul_gen
+
+    sd = fpath_or_sd if isinstance(fpath_or_sd, dict) else load_state_dict(fpath_or_sd)
+    cls = {"Hulb128Net": hul_gen.Hulb128Net,
+           "Hulbs128Net": hul_gen.Hulbs128Net}[network]
+    conv_types = {"c", "d2", "d5", "s3"}
+    params: Dict = {}
+    for bname, specs in hul_gen._PLAN.items():
+        layers = []
+        idx = 0
+        for li, (_cin_m, _cout_m, ltype, _bias) in enumerate(specs):
+            wmap = conv_w if ltype in conv_types else tconv3_w
+            lay = {"w": wmap(sd[f"{bname}.{idx}.weight"])}
+            if f"{bname}.{idx}.bias" in sd:
+                lay["b"] = _np(sd[f"{bname}.{idx}.bias"])
+            idx += 1
+            last_head = bname == "dec126to128std" and li == len(specs) - 1
+            if not last_head:
+                if cls.act == "PReLU":
+                    lay["a"] = _np(sd[f"{bname}.{idx}.weight"]).reshape(())
+                idx += 1  # activation occupies a Sequential slot either way
+            layers.append(lay)
+        params[bname] = layers
+    if "activation.weight" in sd:
+        params["_final_a"] = _np(sd["activation.weight"]).reshape(())
+    return params
+
+
 _HUL_DISCS = ("Hul112Disc", "Hulb112Disc", "Hull112Disc", "Hulf112Disc")
+_HUL_GENS = ("Hulb128Net", "Hulbs128Net")
 
 
 def import_checkpoint(fpath: str, network: str, **kwargs):
@@ -283,4 +323,6 @@ def import_checkpoint(fpath: str, network: str, **kwargs):
         return import_mobilenetv3(fpath)
     if network in _HUL_DISCS:
         return import_hul_disc(fpath, network)
+    if network in _HUL_GENS:
+        return import_hul_gen(fpath, network)
     raise NotImplementedError(f"torch import for {network}")
