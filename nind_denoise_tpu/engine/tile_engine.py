@@ -492,9 +492,14 @@ def make_sharded_denoiser(network: str, params, ndev: int,
 
 def make_engine(network: str, params, cs: Optional[int] = None,
                 ucs: Optional[int] = None, activation: str = "PReLU",
-                **kwargs) -> TileEngine:
+                resolved=None, **kwargs) -> TileEngine:
     """Convenience constructor resolving per-arch tile defaults
-    (autodetect_network_cs_ucs parity, denoise_image.py:59-79)."""
+    (autodetect_network_cs_ucs parity, denoise_image.py:59-79).
+
+    ``resolved``: optional pre-resolved ``(apply_fn, params)`` from
+    resolve_apply_fn — same contract as make_sharded_denoiser, for callers
+    building several engines (per tile size) from one checkpoint."""
     cs, ucs, check = _resolve_tiles(network, cs, ucs)
-    apply_fn, params = resolve_apply_fn(network, params, activation)
+    apply_fn, params = (resolved if resolved is not None
+                        else resolve_apply_fn(network, params, activation))
     return TileEngine(apply_fn, params, cs, ucs, size_check=check, **kwargs)

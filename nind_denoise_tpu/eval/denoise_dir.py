@@ -14,6 +14,7 @@ time; here the compiled tile program is reused across the whole run).
 from __future__ import annotations
 
 import os
+import sys
 from typing import List
 
 from ..core.tiles import default_cs_ucs
@@ -72,6 +73,9 @@ def main(argv=None):
                                 model_path.split(os.sep)[-2]
                                 if os.sep in model_path else "model")
     else:
+        if not args.test_reserve:
+            sys.exit("error: provide --noisy_dir or --test_reserve "
+                     "(nothing to evaluate)")
         sets = get_test_reserve_list(args.test_reserve)
         args.noisy_dir = args.orig_data
         reserve_tag = (utilities.get_leaf(args.test_reserve[0])
@@ -133,15 +137,25 @@ def main(argv=None):
         work = [fn for fn in sorted(os.listdir(set_dir))
                 if os.path.isfile(os.path.join(set_dir, fn))
                 and os.path.join(set_dir, fn) != baseline]
+
+        def _ofp(fn2):
+            p = os.path.join(save_dir, fn2)
+            return p + ".tif" if p.endswith("jpg") else p
+
+        # which images actually need denoising — decode-ahead must skip
+        # the skipped ones too, or every skipped image's decoded array
+        # leaks in `pending` for the life of the run (review r3)
+        todo = [not (args.skip_existing and os.path.isfile(_ofp(fn2)))
+                for fn2 in work]
         for idx, fn in enumerate(work):
             in_fpath = os.path.join(set_dir, fn)
-            out_fpath = os.path.join(save_dir, fn)
-            if out_fpath.endswith("jpg"):
-                out_fpath += ".tif"
-            if idx + 1 < len(work):
-                decode_ahead(os.path.join(set_dir, work[idx + 1]))
-            if not (os.path.isfile(out_fpath) and args.skip_existing):
-                fut = pending.pop(in_fpath, None)
+            out_fpath = _ofp(fn)
+            nxt = next((j for j in range(idx + 1, len(work)) if todo[j]),
+                       None)
+            if nxt is not None:
+                decode_ahead(os.path.join(set_dir, work[nxt]))
+            fut = pending.pop(in_fpath, None)  # always drained
+            if todo[idx]:
                 raw, scale = (fut.result() if fut is not None
                               else imgio.load_img_raw(in_fpath))
                 if args.whole_image:

@@ -213,6 +213,23 @@ def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
     return u[0] if squeeze else u
 
 
+def gmic_quantize_u8(u):
+    """The gmic post-op on a deblurred device array: ``*65535/256, cut
+    0-255, round`` -> uint8, on device (/root/reference/src/denoise.py:
+    470-475 argv tail). ONE definition shared by the pipeline CLI, the
+    sharded dir batch, and the serving daemon."""
+    return jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)).astype(jnp.uint8)
+
+
+def rl_to_u8_device(img01, sigma: float = 1.0, iterations: int = 10,
+                    impl: str = "auto", psf: str = "gaussian"):
+    """RL deblur + gmic quantize, fully on device: device-resident [0,1]
+    HWC in, uint8 device array out (callers fetch once)."""
+    img = jnp.clip(jnp.asarray(img01, jnp.float32), 0, None)
+    u = rl_deblur(img, float(sigma), int(iterations), impl=impl, psf=psf)
+    return gmic_quantize_u8(u)
+
+
 def rl_deblur_to_uint8(img01: np.ndarray, sigma: float = 1.0,
                        iterations: int = 10, dt: float = 1.0,
                        impl: str = "auto", psf: str = "gaussian") -> np.ndarray:

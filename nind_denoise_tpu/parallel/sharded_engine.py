@@ -54,6 +54,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.tiles import TilePlan
 from ..engine import device_stitch
 
+# program-reuse granularity (CLAUDE.md invariant: compiled programs are
+# keyed by bucketed shapes so a mixed-resolution directory or serving
+# workload shares programs instead of paying a fresh 30s-15min remote
+# compile per unique image size). Finer than the single-device engine's
+# 512 because band zero-padding is uploaded over the (wire-bound) link:
+# <= 255 extra columns + <= 63 extra band rows per image.
+W_BUCKET = 256
+H_BUCKET = 64
+
+
+def _bucket(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
 
 class ShardedTileDenoiser:
     """Denoise one image with tiles split across all mesh devices.
@@ -84,19 +97,23 @@ class ShardedTileDenoiser:
         self.last_bytes_downloaded = 0
 
     def _step(self, band_h_in, band_h_out, w_in, w_out, channels, ntiles_dev):
+        """All shape arguments arrive BUCKETED (denoise_hwc); the round
+        count is a runtime argument, so the compiled program is shared by
+        every image whose bucketed shapes match."""
         key = (band_h_in, band_h_out, w_in, w_out, channels, ntiles_dev)
         if key in self._step_cache:
             return self._step_cache[key]
         pad, ucs, cs, ol, tpd = self.pad, self.ucs, self.cs, self.ol, self.tpd
         axis = self.axis
-        nrounds = ntiles_dev // tpd
 
-        def local_step(params, band_in, coords, specs):
+        def local_step(params, band_in, coords, specs, nrounds):
             """Per-device: loop over this device's tiles in rounds of tpd,
             gather + forward + weighted scatter into the LOCAL canvas band.
             coords are (y, x) offsets valid for BOTH the input band (padded
             coords) and the output band (canvas coords) — the band starts
-            line up by construction (see denoise_hwc)."""
+            line up by construction (see denoise_hwc). ``nrounds`` is
+            traced (dynamic trip count): descriptor slots past the real
+            tile count are never executed."""
             band_in = band_in[0]      # (band_h_in, w_in, C)
             coords = coords[0]        # (ntiles_dev, 2)
             specs = specs[0]          # (ntiles_dev, 6)
@@ -119,7 +136,7 @@ class ShardedTileDenoiser:
 
         fn = shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(P(), P(self.axis), P(self.axis), P(self.axis)),
+            in_specs=(P(), P(self.axis), P(self.axis), P(self.axis), P()),
             out_specs=P(self.axis),
         )
         jitted = jax.jit(fn)
@@ -153,17 +170,27 @@ class ShardedTileDenoiser:
         # and output bands aligned: both start at `start` in their own coords
         assert padded.shape[0] == plan.grid_h + 2 * self.pad
 
+        # bucketed program shapes: zero-padding past the real extents is
+        # never read (gathers stay within the real band) nor written
+        # (scatter coords stay within the real canvas span)
+        bh_in_b = _bucket(band_h_in, H_BUCKET)
+        bh_out_b = bh_in_b - 2 * self.pad
+        w_in_b = _bucket(padded.shape[1], W_BUCKET)
+        w_out_b = _bucket(plan.grid_w, W_BUCKET)
+        slots = _bucket(per_dev, self.tpd * 4)  # descriptor-array capacity
+
         starts = np.zeros(ndev, np.int32)
-        bands_in = np.zeros((ndev, band_h_in, padded.shape[1], c), np.float32)
-        coords = np.zeros((ndev, per_dev, 2), np.int32)
-        specs = np.zeros((ndev, per_dev, 6), np.int32)
+        bands_in = np.zeros((ndev, bh_in_b, w_in_b, c), np.float32)
+        coords = np.zeros((ndev, slots, 2), np.int32)
+        specs = np.zeros((ndev, slots, 6), np.int32)
         for d, ch in enumerate(chunks):
             if not ch:
                 continue  # all-dummy device: zero band, zero-weight specs
             r_first = ch[0] // row_w
             start = min(stride * r_first, plan.grid_h - band_h_out)
             starts[d] = start
-            bands_in[d] = padded[start:start + band_h_in]
+            bands_in[d, :band_h_in, :padded.shape[1]] = \
+                padded[start:start + band_h_in]
             cds, sps = plan.tile_specs_arrays(ch)
             cds[:, 0] -= start  # band-local y for gather AND scatter
             coords[d, :len(ch)] = cds
@@ -175,10 +202,10 @@ class ShardedTileDenoiser:
         specs_dev = jax.device_put(specs, sh)
         self.last_bytes_uploaded = bands_in.nbytes + coords.nbytes + specs.nbytes
 
-        step = self._step(band_h_in, band_h_out, padded.shape[1],
-                          plan.grid_w, c, per_dev)
+        step = self._step(bh_in_b, bh_out_b, w_in_b, w_out_b, c, slots)
         bands_out = np.asarray(step(self.params, bands_dev, coords_dev,
-                                    specs_dev))
+                                    specs_dev,
+                                    jnp.int32(per_dev // self.tpd)))
         self.last_bytes_downloaded = bands_out.nbytes
 
         out = np.zeros((plan.grid_h, plan.grid_w, c), np.float32)
@@ -187,5 +214,6 @@ class ShardedTileDenoiser:
                 continue
             # adjacent bands overlap only in the ol-row feather strips; the
             # += merges them (each strip was pre-halved by the masks)
-            out[starts[d]:starts[d] + band_h_out] += bands_out[d]
+            out[starts[d]:starts[d] + band_h_out] += \
+                bands_out[d, :band_h_out, :plan.grid_w]
         return out[:h, :w]

@@ -249,15 +249,11 @@ def _rl_array_to_file(img01_hwc, out_fpath: pathlib.Path,
                       psf: str = "gaussian") -> None:
     """On-device RL on a device-resident image, gmic post-op semantics
     (*65535/256, cut 0-255, round), uint8 quantize on device, single fetch."""
-    import jax.numpy as jnp
-
     from ..engine import transfer
     from ..ops import rl_deblur
 
-    img = jnp.clip(jnp.asarray(img01_hwc, jnp.float32), 0, None)
-    u = rl_deblur.rl_deblur(img, float(sigma), int(iterations), impl=impl,
-                            psf=psf)
-    u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)).astype(jnp.uint8)
+    u8 = rl_deblur.rl_to_u8_device(img01_hwc, sigma, iterations, impl=impl,
+                                   psf=psf)
     _encode_u8(transfer.fast_get(u8), out_fpath, quality)
     if verbose:
         print(f"Applied on-device RL-deblur to: {out_fpath}")
@@ -450,10 +446,9 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
     output (data-parallel, zero resharding), and each image fetches once,
     already quantized. Returns the list of written output paths.
     """
-    import jax.numpy as jnp
-
     from ..core.tiles import default_cs_ucs
     from ..engine.tile_engine import resolve_apply_fn
+    from ..ops import rl_deblur as ops_rl
     from ..parallel import mesh as pmesh
     from ..parallel.batch_engine import DeviceBatchDenoiser
 
@@ -588,9 +583,7 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
             u = batch_engine.rl_deblur_sharded(
                 den_full, float(sigma), int(iterations), mesh,
                 impl=args.rl_impl, psf=args.rl_psf)
-            u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
-                           ).astype(jnp.uint8)
-            host = np.asarray(u8)[:nb]
+            host = np.asarray(ops_rl.gmic_quantize_u8(u))[:nb]
         else:
             den = den_full[:nb]
         for j, (f, _) in enumerate(chunk):

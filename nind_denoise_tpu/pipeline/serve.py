@@ -49,12 +49,17 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class ServiceBusy(RuntimeError):
+    """Request queue at capacity — mapped to HTTP 503 (shed, don't buffer)."""
+
+
 class DenoiseService:
     """Warm engine + single dispatcher thread; thread-safe submit()."""
 
     def __init__(self, network: str, model_path: str, cs=None, ucs=None,
                  activation: str = "PReLU", batch_size: int = 8,
-                 compute_dtype: str = "bfloat16", devices=None):
+                 compute_dtype: str = "bfloat16", devices=None,
+                 max_pending: int = 8):
         import jax
 
         from ..core.tiles import default_cs_ucs
@@ -70,16 +75,23 @@ class DenoiseService:
         self._network, self._params = network, params
         self._activation, self._batch_size = activation, batch_size
         self._compute_dtype = compute_dtype
-        self._engines: dict = {}
-        self._check_cs = None
+        from ..engine.tile_engine import resolve_apply_fn
         from ..models import get_network
 
+        self._engines: dict = {}
         self._check_cs = getattr(get_network(network), "check_cs", None)
+        # resolve the forward ONCE (derives the fastconv kernel tree on
+        # device for UtNet); every per-tile-size engine reuses it
+        self._resolved = resolve_apply_fn(network, params, activation)
         self._engine_for_cs(cs, ucs)  # warm the default engine eagerly
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
                       "busy_s": 0.0}
         self._stats_lock = threading.Lock()
-        self._q: queue.Queue = queue.Queue()
+        # bounded queue = backpressure: each queued job closes over a
+        # decoded image, so an unbounded queue lets concurrent uploads pin
+        # arbitrary host RAM; beyond the bound submit() raises ServiceBusy
+        # (-> HTTP 503) instead of buffering
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -92,11 +104,6 @@ class DenoiseService:
         from ..engine.tile_engine import make_engine, make_sharded_denoiser
 
         if self.ndev > 1:
-            if not hasattr(self, "_resolved"):
-                from ..engine.tile_engine import resolve_apply_fn
-
-                self._resolved = resolve_apply_fn(
-                    self._network, self._params, self._activation)
             sharded = make_sharded_denoiser(
                 self._network, None, self.ndev, cs=cs, ucs=ucs,
                 batch_size=self._batch_size,
@@ -108,7 +115,8 @@ class DenoiseService:
             engine = make_engine(self._network, self._params, cs=cs, ucs=ucs,
                                  activation=self._activation,
                                  batch_size=self._batch_size,
-                                 compute_dtype=self._compute_dtype)
+                                 compute_dtype=self._compute_dtype,
+                                 resolved=self._resolved)
             # storage-dtype feed + DEVICE-resident result: the [0,1]
             # normalization fuses into the tile program, and RL runs
             # without an intermediate host round-trip (the denoise_cli
@@ -134,7 +142,8 @@ class DenoiseService:
 
                 self._engines["tiny"] = make_engine(
                     self._network, self._params, activation=self._activation,
-                    compute_dtype=self._compute_dtype)
+                    compute_dtype=self._compute_dtype,
+                    resolved=self._resolved)
             return self._engines["tiny"].denoise_tiny(raw, scale,
                                                       out_dtype="device")
         return self._engine_for_cs(cs, ucs)(raw, scale)
@@ -154,13 +163,22 @@ class DenoiseService:
             fn, done = job
             try:
                 done["result"] = fn()
-            except Exception as e:  # reported to the requesting thread
-                done["error"] = e
-            done["event"].set()
+            except BaseException as e:  # noqa: BLE001 — the waiter must
+                # ALWAYS be released: a SystemExit/native BaseException that
+                # escaped here would otherwise hang the submitting request
+                # and every later one (the dispatcher is the only consumer)
+                done["error"] = (e if isinstance(e, Exception) else
+                                 RuntimeError(f"fatal dispatcher error: {e!r}"))
+            finally:
+                done["event"].set()
 
     def submit(self, fn):
         done = {"event": threading.Event()}
-        self._q.put((fn, done))
+        try:
+            self._q.put_nowait((fn, done))
+        except queue.Full:
+            raise ServiceBusy(
+                f"request queue full ({self._q.maxsize} pending)") from None
         done["event"].wait()
         if "error" in done:
             raise done["error"]
@@ -201,11 +219,10 @@ class DenoiseService:
             if rl:
                 from ..ops import rl_deblur
 
-                u = rl_deblur.rl_deblur(
-                    jnp.clip(jnp.asarray(out01, jnp.float32), 0, None),
-                    float(sigma), int(iterations), psf=psf)
-                dev_u8 = jnp.round(jnp.clip(u * (65535.0 / 256.0), 0, 255)
-                                   ).astype(jnp.uint8)
+                # shared RL + gmic-quantize recipe (one definition with the
+                # pipeline CLI: ops/rl_deblur.rl_to_u8_device)
+                dev_u8 = rl_deblur.rl_to_u8_device(
+                    out01, float(sigma), int(iterations), psf=psf)
             else:
                 dev_u8 = jnp.round(jnp.clip(jnp.asarray(out01), 0, 1) * 255
                                    ).astype(jnp.uint8)
@@ -264,9 +281,15 @@ def make_handler(svc: DenoiseService):
                 return self._json(404, {"error": "unknown endpoint"})
             q = urllib.parse.parse_qs(parsed.query)
             get = lambda k, d: q.get(k, [d])[0]
-            length = int(self.headers.get("Content-Length", 0))
-            if length <= 0 or length > self.MAX_BODY:
-                return self._json(413, {"error": f"bad body size {length}"})
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                return self._json(400, {"error": "bad Content-Length header"})
+            if length <= 0:  # absent/zero (chunked uploads unsupported)
+                return self._json(411, {"error": "Content-Length required"})
+            if length > self.MAX_BODY:
+                return self._json(413, {"error": f"body size {length} "
+                                                 f"exceeds {self.MAX_BODY}"})
             data = self.rfile.read(length)
             svc.bump("requests")
             try:
@@ -279,9 +302,10 @@ def make_handler(svc: DenoiseService):
                     psf=get("psf", "gaussian"))
             except Exception as e:
                 svc.bump("errors")
-                # client errors (bad image / bad params) -> 400;
-                # anything else is a server fault -> 500
-                code = 400 if isinstance(e, ValueError) else 500
+                # client errors (bad image / bad params) -> 400; queue at
+                # capacity -> 503 (retryable); anything else -> 500
+                code = (503 if isinstance(e, ServiceBusy)
+                        else 400 if isinstance(e, ValueError) else 500)
                 return self._json(code, {"error": f"{type(e).__name__}: {e}"})
             ctype = {"jpg": "image/jpeg", "jpeg": "image/jpeg",
                      "png": "image/png", "tiff": "image/tiff"}[
@@ -312,13 +336,15 @@ def main(argv=None):
     ap.add_argument("--devices", type=int)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8601)
+    ap.add_argument("--max_pending", type=int, default=8,
+                    help="queued-request bound; beyond it requests get 503")
     args = ap.parse_args(argv)
 
     svc = DenoiseService(args.network, args.model_path, cs=args.cs,
                          ucs=args.ucs, activation=args.activation,
                          batch_size=args.batch_size,
                          compute_dtype=args.compute_dtype,
-                         devices=args.devices)
+                         devices=args.devices, max_pending=args.max_pending)
     httpd = serve(svc, args.host, args.port)
     print(f"denoise-serve: listening on http://{args.host}:{args.port} "
           f"({svc.ndev} device(s), cs={svc.cs}/ucs={svc.ucs})")

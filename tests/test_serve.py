@@ -147,3 +147,73 @@ def test_tiny_image_served(server):
     body = urllib.request.urlopen(req).read()
     out = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_UNCHANGED)
     assert out is not None and out.shape == (33, 47, 3)
+
+
+def test_bad_content_length_is_4xx(server):
+    """Malformed Content-Length must get a JSON error response, not a
+    dropped socket (review r3); absent/zero gets 411."""
+    import http.client
+
+    svc, base = server
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port))
+    conn.putrequest("POST", "/denoise")
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    r = conn.getresponse()
+    assert r.status == 400
+    assert "Content-Length" in json.loads(r.read())["error"]
+    conn.close()
+
+    conn = http.client.HTTPConnection(host, int(port))
+    conn.putrequest("POST", "/denoise")
+    conn.putheader("Content-Length", "0")
+    conn.endheaders()
+    r = conn.getresponse()
+    assert r.status == 411
+    conn.close()
+
+
+def test_queue_full_raises_service_busy(server):
+    """submit() sheds load with ServiceBusy beyond the queue bound (-> 503)
+    instead of buffering decoded images without limit (review r3)."""
+    svc, _ = server
+    gate = threading.Event()
+    started = threading.Event()
+
+    def blocker():
+        started.set()
+        gate.wait(10)
+        return None
+
+    t = threading.Thread(target=lambda: svc.submit(blocker), daemon=True)
+    t.start()
+    started.wait(5)  # dispatcher is now busy inside blocker
+    try:
+        for _ in range(svc._q.maxsize):  # fill every queue slot
+            svc._q.put_nowait((lambda: None, {"event": threading.Event()}))
+        with pytest.raises(serve_mod.ServiceBusy):
+            svc.submit(lambda: None)
+    finally:
+        gate.set()
+        t.join(5)
+        # drain the filler jobs so later tests see an idle queue
+        deadline = 50
+        while not svc._q.empty() and deadline:
+            import time as _t
+            _t.sleep(0.1)
+            deadline -= 1
+    assert svc._q.empty()
+
+
+def test_dispatcher_survives_base_exception(server):
+    """A non-Exception raise inside a job must release the waiter AND keep
+    the dispatcher alive for later requests (review r3)."""
+    svc, _ = server
+
+    def fatal():
+        raise SystemExit(3)
+
+    with pytest.raises(RuntimeError, match="fatal dispatcher error"):
+        svc.submit(fatal)
+    assert svc.submit(lambda: 41 + 1) == 42  # still serving

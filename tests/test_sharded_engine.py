@@ -8,6 +8,7 @@ import jax
 from nind_denoise_tpu.core.tiles import TilePlan
 from nind_denoise_tpu.engine.tile_engine import TileEngine
 from nind_denoise_tpu.models.utnet import UtNet
+from nind_denoise_tpu.parallel import sharded_engine as se
 from nind_denoise_tpu.parallel.sharded_engine import ShardedTileDenoiser
 
 
@@ -75,12 +76,15 @@ def test_sharded_communication_bound():
         by_tpd[tpd] = (eng.last_bytes_uploaded, eng.last_bytes_downloaded)
         ndev = eng.ndev
         # upload: padded image + per-device band overlap (each band re-reads
-        # at most 2*stride + cs extra rows) + the tile descriptor arrays
-        up_bound = (h_in + ndev * (2 * plan.stride + cs)) * w_in * 3 * 4 \
-            + plan.ntiles * 8 * 2 * 4
-        # download: canvas + per-device band overlap rows
-        down_bound = (plan.grid_h + ndev * (2 * plan.stride + ucs)) \
-            * plan.grid_w * 3 * 4
+        # at most 2*stride + cs extra rows) + program-bucketing slack
+        # (H_BUCKET rows / W_BUCKET cols, sharded_engine.py) + descriptors
+        up_bound = (h_in + ndev * (2 * plan.stride + cs + se.H_BUCKET)) \
+            * se._bucket(w_in, se.W_BUCKET) * 3 * 4 \
+            + (plan.ntiles + ndev * tpd * 4) * 8 * 2 * 4
+        # download: canvas + per-device band overlap rows + bucket slack
+        down_bound = (plan.grid_h + ndev * (2 * plan.stride + ucs
+                                            + se.H_BUCKET)) \
+            * se._bucket(plan.grid_w, se.W_BUCKET) * 3 * 4
         assert eng.last_bytes_uploaded <= up_bound, \
             (eng.last_bytes_uploaded, up_bound)
         assert eng.last_bytes_downloaded <= down_bound, \
@@ -90,3 +94,26 @@ def test_sharded_communication_bound():
     # (descriptor padding to whole rounds may differ by a few KB)
     assert by_tpd[1][1] == by_tpd[7][1], by_tpd
     assert abs(by_tpd[1][0] - by_tpd[7][0]) < 8192, by_tpd
+
+
+def test_sharded_program_reuse_across_sizes():
+    """Compiled programs are keyed on BUCKETED shapes with a dynamic round
+    count (CLAUDE.md invariant): a mixed-resolution workload must share
+    programs instead of recompiling per unique (H, W) — the difference
+    between a warm serving daemon and a 30s-15min remote compile per new
+    size (review r3)."""
+    eng = ShardedTileDenoiser(lambda p, x: x, {}, cs=64, ucs=48, ol=4,
+                              tiles_per_device=2)
+    rng = np.random.default_rng(5)
+    # same bucketed key: same 3x3 tile grid (H in one stride step, W in one
+    # stride step), so band-height / width / descriptor buckets all match
+    a = rng.random((100, 130, 3), dtype=np.float32)
+    b = rng.random((110, 133, 3), dtype=np.float32)
+    np.testing.assert_allclose(eng.denoise_hwc(a), a, atol=1e-6)
+    n_after_first = len(eng._step_cache)
+    np.testing.assert_allclose(eng.denoise_hwc(b), b, atol=1e-6)
+    assert len(eng._step_cache) == n_after_first == 1
+    # a much wider image crosses a W_BUCKET boundary: one more program
+    c = rng.random((100, 400, 3), dtype=np.float32)
+    np.testing.assert_allclose(eng.denoise_hwc(c), c, atol=1e-6)
+    assert len(eng._step_cache) == 2

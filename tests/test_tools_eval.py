@@ -181,3 +181,52 @@ def test_convert_checkpoint(tmp_path):
     assert len(la) == len(lb)
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_denoise_dir_skip_existing_no_decode(scene_dir, tmp_path, monkeypatch):
+    """--skip_existing must not decode (or denoise) already-done images:
+    a second run over a complete result dir performs zero image decodes
+    beyond scoring (review r3 — skipped images' decode futures leaked)."""
+    import jax
+
+    from nind_denoise_tpu.core import imgio
+    from nind_denoise_tpu.eval import denoise_dir
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.models.utnet import UtNet
+
+    ckpt_dir = tmp_path / "run"
+    ckpt_dir.mkdir()
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=2),
+                   str(ckpt_dir / "generator_5.npz"))
+    argv = ["--model_path", str(ckpt_dir / "generator_5.npz"),
+            "--network", "UtNet", "--cs", "104", "--ucs", "88",
+            "--noisy_dir", scene_dir,
+            "--result_dir", str(tmp_path / "results"),
+            "--batch_size", "2", "--no_scoring", "--devices", "1",
+            "--skip_existing"]
+    denoise_dir.main(argv)  # populates every output
+
+    calls = []
+    orig = imgio.load_img_raw
+    monkeypatch.setattr(imgio, "load_img_raw",
+                        lambda p: (calls.append(p), orig(p))[1])
+    overall = denoise_dir.main(argv)  # everything skipped
+    assert calls == [], calls
+    assert all(np.isfinite(v) for v in overall.values())
+
+
+def test_denoise_dir_requires_input(tmp_path):
+    """No --noisy_dir and no --test_reserve must exit with a clear message,
+    not a TypeError (review r3)."""
+    import jax
+    import pytest as _pytest
+
+    from nind_denoise_tpu.eval import denoise_dir
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.models.utnet import UtNet
+
+    ck = str(tmp_path / "generator_5.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=2), ck)
+    with _pytest.raises(SystemExit, match="noisy_dir"):
+        denoise_dir.main(["--model_path", ck, "--network", "UtNet",
+                          "--cs", "104", "--ucs", "88", "--test_reserve"])
