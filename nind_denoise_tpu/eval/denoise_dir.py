@@ -76,6 +76,12 @@ def main(argv=None):
         if not args.test_reserve:
             sys.exit("error: provide --noisy_dir or --test_reserve "
                      "(nothing to evaluate)")
+        if not args.orig_data or not os.path.isdir(args.orig_data):
+            # the layered config supplies a relative default; if it does not
+            # resolve here, fail with the flag name instead of a
+            # FileNotFoundError deep inside get_baseline_fpath
+            sys.exit(f"error: --test_reserve reads scenes from --orig_data, "
+                     f"which is {args.orig_data!r} (not a directory)")
         sets = get_test_reserve_list(args.test_reserve)
         args.noisy_dir = args.orig_data
         reserve_tag = (utilities.get_leaf(args.test_reserve[0])

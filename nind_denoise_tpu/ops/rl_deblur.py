@@ -235,7 +235,6 @@ def rl_deblur_to_uint8(img01: np.ndarray, sigma: float = 1.0,
                        impl: str = "auto", psf: str = "gaussian") -> np.ndarray:
     """Full gmic-pipeline semantics on a [0,1]-normalized HWC image:
     RL deblur, then ``*65535/256, clip 0-255, round`` -> uint8 HWC."""
-    u = np.asarray(rl_deblur(jnp.asarray(img01, jnp.float32), sigma, iterations,
-                             dt, impl=impl, psf=psf))
-    out = np.clip(u * (65535.0 / 256.0), 0.0, 255.0)
-    return np.round(out).astype(np.uint8)
+    u = rl_deblur(jnp.asarray(img01, jnp.float32), sigma, iterations,
+                  dt, impl=impl, psf=psf)
+    return np.asarray(gmic_quantize_u8(u))

@@ -53,6 +53,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.tiles import TilePlan
 from ..engine import device_stitch
+from ..engine.tile_engine import _bucket  # shared round-up-to-multiple
 
 # program-reuse granularity (CLAUDE.md invariant: compiled programs are
 # keyed by bucketed shapes so a mixed-resolution directory or serving
@@ -62,10 +63,6 @@ from ..engine import device_stitch
 # <= 255 extra columns + <= 63 extra band rows per image.
 W_BUCKET = 256
 H_BUCKET = 64
-
-
-def _bucket(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 class ShardedTileDenoiser:

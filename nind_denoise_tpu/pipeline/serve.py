@@ -92,6 +92,7 @@ class DenoiseService:
         # arbitrary host RAM; beyond the bound submit() raises ServiceBusy
         # (-> HTTP 503) instead of buffering
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._closing = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -157,7 +158,12 @@ class DenoiseService:
 
     def _run(self):
         while True:
-            job = self._q.get()
+            try:
+                job = self._q.get(timeout=0.5)
+            except queue.Empty:
+                if self._closing.is_set():
+                    return
+                continue
             if job is None:
                 return
             fn, done = job
@@ -193,7 +199,15 @@ class DenoiseService:
             return dict(self.stats)
 
     def close(self):
-        self._q.put(None)
+        # Never block: the queue is bounded, so a wedged dispatcher (long
+        # remote compile) plus a full queue would hang a blocking put(None)
+        # forever. The flag lets _run exit once the queue drains even when
+        # the sentinel could not be enqueued.
+        self._closing.set()
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass
 
     # -- request body --------------------------------------------------------
 
@@ -285,7 +299,9 @@ def make_handler(svc: DenoiseService):
                 length = int(self.headers.get("Content-Length") or 0)
             except ValueError:
                 return self._json(400, {"error": "bad Content-Length header"})
-            if length <= 0:  # absent/zero (chunked uploads unsupported)
+            if length < 0:  # header present but malformed -> client error
+                return self._json(400, {"error": "bad Content-Length header"})
+            if length == 0:  # absent/zero (chunked uploads unsupported)
                 return self._json(411, {"error": "Content-Length required"})
             if length > self.MAX_BODY:
                 return self._json(413, {"error": f"body size {length} "

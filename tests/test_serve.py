@@ -173,6 +173,16 @@ def test_bad_content_length_is_4xx(server):
     assert r.status == 411
     conn.close()
 
+    # negative: header IS present, just malformed -> 400, not 411
+    conn = http.client.HTTPConnection(host, int(port))
+    conn.putrequest("POST", "/denoise")
+    conn.putheader("Content-Length", "-5")
+    conn.endheaders()
+    r = conn.getresponse()
+    assert r.status == 400
+    assert "Content-Length" in json.loads(r.read())["error"]
+    conn.close()
+
 
 def test_queue_full_raises_service_busy(server):
     """submit() sheds load with ServiceBusy beyond the queue bound (-> 503)
@@ -217,3 +227,30 @@ def test_dispatcher_survives_base_exception(server):
     with pytest.raises(RuntimeError, match="fatal dispatcher error"):
         svc.submit(fatal)
     assert svc.submit(lambda: 41 + 1) == 42  # still serving
+
+
+def test_close_never_blocks_on_full_queue(server):
+    """close() must return promptly even when the bounded queue is full
+    (review r3: a blocking put(None) would hang shutdown behind a wedged
+    dispatcher). Runs LAST in this module: it closes the shared service."""
+    svc, _ = server
+    gate = threading.Event()
+    started = threading.Event()
+
+    def blocker():
+        started.set()
+        gate.wait(10)
+        return None
+
+    t = threading.Thread(target=lambda: svc.submit(blocker), daemon=True)
+    t.start()
+    started.wait(5)
+    for _ in range(svc._q.maxsize):  # fill every queue slot
+        svc._q.put_nowait((lambda: None, {"event": threading.Event()}))
+    t0 = __import__("time").monotonic()
+    svc.close()  # queue is full: must not block on the sentinel
+    assert __import__("time").monotonic() - t0 < 1.0
+    gate.set()
+    t.join(5)
+    svc._worker.join(10)  # drains the fillers, sees _closing, exits
+    assert not svc._worker.is_alive()

@@ -230,3 +230,9 @@ def test_denoise_dir_requires_input(tmp_path):
     with _pytest.raises(SystemExit, match="noisy_dir"):
         denoise_dir.main(["--model_path", ck, "--network", "UtNet",
                           "--cs", "104", "--ucs", "88", "--test_reserve"])
+    # sibling hole (review r3): --test_reserve without --orig_data used to
+    # crash later with TypeError(join(None, ...)) instead of a clear exit
+    with _pytest.raises(SystemExit, match="orig_data"):
+        denoise_dir.main(["--model_path", ck, "--network", "UtNet",
+                          "--cs", "104", "--ucs", "88",
+                          "--test_reserve", "setA"])
