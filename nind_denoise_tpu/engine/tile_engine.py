@@ -331,6 +331,23 @@ class TileEngine:
                                progress=progress)
         return out.transpose(2, 0, 1)
 
+    def _get_whole_jit(self):
+        """ONE jitted whole-image forward shared by denoise_whole and
+        denoise_tiny, with the same float32-precision semantics as the
+        tiled step (_make_step): before this helper, whichever of the two
+        ran first memoized _whole_jit and denoise_whole's version skipped
+        the default_matmul_precision("highest") wrapper."""
+        if not hasattr(self, "_whole_jit"):
+            fwd = self.apply_fn
+            if self.precision == "float32":
+                base = fwd
+
+                def fwd(p, t):
+                    with jax.default_matmul_precision("highest"):
+                        return base(p, t)
+            self._whole_jit = jax.jit(fwd)
+        return self._whole_jit
+
     def denoise_whole(self, img_chw: np.ndarray, pad: int = 0) -> np.ndarray:
         """Whole-image mode (reference --whole_image --pad,
         denoise_image.py:196-197): one forward at full size, side-mirror
@@ -342,11 +359,10 @@ class TileEngine:
         field of real border pixels and change the output. For bounded
         per-chip memory at large sizes use the spatially-sharded forward
         (parallel/spatial.py; --devices N on the CLI)."""
-        if not hasattr(self, "_whole_jit"):
-            self._whole_jit = jax.jit(self.apply_fn)  # memoized across calls
+        whole_jit = self._get_whole_jit()
         padded = tiles_mod.whole_image_pad(img_chw, pad) if pad else img_chw.astype(np.float32)
         x = jnp.asarray(padded.transpose(1, 2, 0))[None].astype(self.compute_dtype)
-        y = self._whole_jit(self._params, x)
+        y = whole_jit(self._params, x)
         y = np.asarray(y[0]).astype(np.float32).transpose(2, 0, 1)
         if pad:
             y = y[:, pad:-pad, pad:-pad]
@@ -381,17 +397,8 @@ class TileEngine:
         if scale != 1.0:
             img = img / np.float32(scale)
         padded = tiles_mod.pad_to_size(img, th, tw)
-        if not hasattr(self, "_whole_jit"):
-            fwd = self.apply_fn
-            if self.precision == "float32":
-                base = fwd
-
-                def fwd(p, t):
-                    with jax.default_matmul_precision("highest"):
-                        return base(p, t)
-            self._whole_jit = jax.jit(fwd)
         x = jnp.asarray(padded)[None].astype(self.compute_dtype)
-        y = self._whole_jit(self._params, x)[0, :h, :w].astype(jnp.float32)
+        y = self._get_whole_jit()(self._params, x)[0, :h, :w].astype(jnp.float32)
         if out_dtype == "device":
             return y
         if out_dtype == "uint8":

@@ -94,3 +94,25 @@ def test_bf16_default_path_quality_floor():
     d = outs["bfloat16"].astype(np.float64) - outs["float32"].astype(np.float64)
     psnr = 10 * np.log10(1.0 / max((d ** 2).mean(), 1e-20))
     assert psnr >= 55.0, f"bf16 default path degraded: {psnr:.1f} dB vs fp32"
+
+
+def test_whole_jit_precision_shared(monkeypatch):
+    """denoise_whole and denoise_tiny share ONE jitted whole forward that
+    honors precision='float32' (review r3: denoise_whole built _whole_jit
+    without the default_matmul_precision wrapper, and whichever of the two
+    ran first fixed the semantics for both)."""
+    entered = []
+    real = jax.default_matmul_precision
+
+    def spy(level):
+        entered.append(level)
+        return real(level)
+
+    monkeypatch.setattr(jax, "default_matmul_precision", spy)
+    eng = TileEngine(lambda p, x: x, params={}, cs=64, ucs=48,
+                     compute_dtype="float32", precision="float32")
+    img = np.random.default_rng(5).random((3, 40, 52), dtype=np.float32)
+    out = eng.denoise_whole(img, pad=4)  # whole path FIRST
+    np.testing.assert_allclose(out, img, atol=1e-6)
+    assert "highest" in entered, "denoise_whole skipped the f32 precision ctx"
+    assert eng._get_whole_jit() is eng._whole_jit  # one shared program
