@@ -493,7 +493,7 @@ def make_sharded_denoiser(network: str, params, ndev: int,
     return ShardedTileDenoiser(
         apply_fn, params, cs=cs, ucs=ucs, ol=ol,
         tiles_per_device=max(1, batch_size // ndev),
-        compute_dtype=compute_dtype, mesh=pmesh.make_mesh(ndev),
+        compute_dtype=compute_dtype, mesh=pmesh.make_mesh(ndev, local=True),
         max_subpixels=max_subpixels)
 
 

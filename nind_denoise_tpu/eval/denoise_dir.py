@@ -100,7 +100,9 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    ndev = args.devices or jax.device_count()
+    # local: on a multi-host pod each process evaluates with its own chips
+    # (the metric JSONs are per-process; run eval single-host, or merge)
+    ndev = args.devices or jax.local_device_count()
     if ndev > 1 and not args.whole_image:
         # multi-device hosts: row-band tile sharding per image (same
         # auto-engagement as the product CLIs, same guard rails)

@@ -68,14 +68,34 @@ def init_distributed(coordinator: Optional[str] = None,
     return True
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
+              local: bool = False) -> Mesh:
+    """``local=True`` builds the mesh over THIS process's devices only —
+    the right scope for inference surfaces on a multi-host pod, where
+    directory/serving workloads are embarrassingly parallel across hosts
+    (each process owns a file shard, see ``process_shard``) and a global
+    mesh would make every image a cross-host collective. Training keeps
+    the default global mesh (gradients all-reduce over DCN). Identical on
+    single-process hosts."""
     init_distributed()
-    devs = jax.devices()
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         if len(devs) < n_devices:
             raise ValueError(f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def process_shard(items):
+    """Split a work list across pod processes (strided by process index,
+    so mixed-size directories balance). Identity on single-process hosts.
+    The multi-host analog of the reference's dir loop
+    (/root/reference/src/denoise.py:491-500) — images are independent, so
+    each host simply owns every ``process_count``-th file."""
+    items = list(items)
+    if jax.process_count() <= 1:
+        return items
+    return items[jax.process_index()::jax.process_count()]
 
 
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

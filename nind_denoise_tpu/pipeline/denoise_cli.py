@@ -463,7 +463,7 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
         params = (params, state)
     apply_fn, params = resolve_apply_fn(network, params,
                                         mcfg.get("activation", "PReLU"))
-    mesh = pmesh.make_mesh(ndev)
+    mesh = pmesh.make_mesh(ndev, local=True)
 
     sigma = int(args.sigma or 1)
     iterations = int(args.iterations or 10)
@@ -633,11 +633,20 @@ def main(argv=None):
                  if f.suffix.lower() in exts]
         # multi-device hosts: dispatch qualifying images one-per-device
         # (the rest fall through to the serial loop below)
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-host pod: images are independent; each process owns a
+            # strided shard of the directory and drives its LOCAL chips
+            from ..parallel import mesh as pmesh
+
+            nfiles = len(files)
+            files = pmesh.process_shard(files)
+            print(f"multi-host pod: process {jax.process_index()}/"
+                  f"{jax.process_count()} takes {len(files)}/{nfiles} files")
         ndev = args.devices
         if ndev is None:
-            import jax
-
-            ndev = jax.device_count()
+            ndev = jax.local_device_count()
         if ndev > 1 and files:
             cmd_darktable = external.find_darktable(args.dt)
             cmd_gmic = external.find_gmic(args.gmic) if args.use_gmic else None

@@ -120,7 +120,9 @@ def _resolve_devices(args) -> int:
         return args.devices
     import jax
 
-    return jax.device_count()
+    # on a multi-host pod each process drives its own chips (inference is
+    # embarrassingly parallel across hosts); single-host: same number
+    return jax.local_device_count()
 
 
 def _run_sharded(args, ndev: int) -> None:
@@ -175,7 +177,8 @@ def _run_whole_spatial(args, ndev: int) -> None:
         print(f"whole-image H={hp} not divisible by {ndev} devices; "
               f"sharding over {nd}")
     fwd = SpatialShardedForward(apply_fn, params,
-                                mesh=pmesh.make_mesh(nd, axis_name="sp"))
+                                mesh=pmesh.make_mesh(nd, axis_name="sp",
+                                                     local=True))
     y = np.asarray(fwd(padded.transpose(1, 2, 0)))[0]
     if pad:
         y = y[pad:-pad, pad:-pad]

@@ -65,7 +65,7 @@ class DenoiseService:
         from ..core.tiles import default_cs_ucs
         from ..models import params_io
 
-        self.ndev = devices or jax.device_count()
+        self.ndev = devices or jax.local_device_count()
         params, state = params_io.load_generator(model_path, network)
         if network == "UNet":
             params = (params, state)

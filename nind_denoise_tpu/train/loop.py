@@ -387,6 +387,11 @@ def main(argv=None):
         pmesh.init_distributed(coordinator=args.coordinator,
                                num_processes=args.num_processes,
                                process_id=args.process_id)
+    # multi-host pods: params/metrics are replicated (identical on every
+    # process — same seeds, same global batch), so only the chief writes
+    # checkpoints and image dumps; other ranks keep their own log +
+    # trainres.json in a rank-suffixed dir for debugging
+    is_chief = jax.process_count() == 1 or jax.process_index() == 0
     debug_options = [o for o in args.debug_options if o in DEBUG_OPTIONS]
 
     weights = {"SSIM": args.weight_SSIM or 0, "MSSSIM": args.weight_MSSSIM or 0,
@@ -409,6 +414,8 @@ def main(argv=None):
 
     expname = (datetime.datetime.now().isoformat()[:-10] + "_"
                + "_".join(sys.argv).replace("/", "-"))[:255]
+    if not is_chief:
+        expname = (expname + f"_rank{jax.process_index()}")[:255]
     model_dir = os.path.join(args.models_dpath, expname)
     os.makedirs(model_dir, exist_ok=True)
     p = Printer(file_path=os.path.join(model_dir, "train.log"))
@@ -539,7 +546,8 @@ def main(argv=None):
         validation_set = ds_mod.ValidationDataset(args.validation_set_yaml,
                                                   cs=args.cs)
         val_dir = (lambda e: os.path.join(model_dir, "val", str(e))) \
-            if "output_val_images" in debug_options else (lambda e: None)
+            if "output_val_images" in debug_options and is_chief \
+            else (lambda e: None)
         validation_loss = validate_generator(eval_step, gen, validation_set,
                                              args.loss_cs, val_dir(0))
         jsonsaver.add_res(0, {"validation_loss": validation_loss})
@@ -550,7 +558,8 @@ def main(argv=None):
         test_set = ds_mod.TestDenoiseDataset(data_dpath=args.orig_data,
                                              sets=args.test_reserve)
         test_dir = (lambda e: os.path.join(model_dir, "testimages", str(e))) \
-            if "output_test_images" in debug_options else (lambda e: None)
+            if "output_test_images" in debug_options and is_chief \
+            else (lambda e: None)
 
     with open(os.path.join(model_dir, "config.yaml"), "w") as fp:
         yaml.dump({k: v for k, v in vars(args).items()}, fp)
@@ -635,19 +644,21 @@ def main(argv=None):
                 # partially trained epoch counts as done, like time_limit).
                 p.print(f"Graceful shutdown: checkpointing epoch {epoch} "
                         f"after {batches_done}/{len(loader)} batches")
-                for di, d in enumerate(discs):
-                    d.save_model(model_dir, epoch,
-                                 "discriminator" if di == 0 else "discriminator2")
-                gen.save_model(model_dir, epoch)
-                # name the exact file: a bare dir resolves to the *best*
-                # epoch (params_io.complete_path), not this latest one
-                p.print(f"Checkpoint saved; resume with --g_model_path "
-                        f"{os.path.join(model_dir, f'generator_{epoch}.npz')}")
+                if is_chief:
+                    for di, d in enumerate(discs):
+                        d.save_model(model_dir, epoch,
+                                     "discriminator" if di == 0 else "discriminator2")
+                    gen.save_model(model_dir, epoch)
+                    # name the exact file: a bare dir resolves to the *best*
+                    # epoch (params_io.complete_path), not this latest one
+                    p.print(f"Checkpoint saved; resume with --g_model_path "
+                            f"{os.path.join(model_dir, f'generator_{epoch}.npz')}")
                 return
 
             removed = delete_outperformed_models(
                 model_dir, keepers=jsonsaver.get_best_steps(), model_t="generator",
-                keep_all_output_images="keep_all_output_images" in debug_options)
+                keep_all_output_images="keep_all_output_images" in debug_options) \
+                if is_chief else []
             if removed:
                 p.print(f"delete_outperformed_models removed {removed}")
 
@@ -685,9 +696,10 @@ def main(argv=None):
                     avg_d = statistics.mean(loss_d_lists[di])
                     p.print(f"Discriminator{di+1} average normalized loss: {avg_d}")
                     disc_lrs[di] = d.update_learning_rate(avg_d)
-                    d.save_model(model_dir, epoch,
-                                 "discriminator" if di == 0 else "discriminator2")
-            if not frozen_generator:
+                    if is_chief:
+                        d.save_model(model_dir, epoch,
+                                     "discriminator" if di == 0 else "discriminator2")
+            if not frozen_generator and is_chief:
                 gen.save_model(model_dir, epoch)
             if args.time_limit and args.time_limit < time.time() - start_time:
                 p.print("Time is up")
