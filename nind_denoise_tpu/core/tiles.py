@@ -72,6 +72,16 @@ class TilePlan:
             raise ValueError(f"TilePlan: cs-ucs must be even, got cs={cs} ucs={ucs}")
         if ol >= ucs:
             raise ValueError(f"TilePlan: overlap {ol} must be < ucs {ucs}")
+        if ol > 0 and 2 * ol > ucs:
+            # stride = ucs - ol < ol would let a third tile into a feather
+            # strip: adjacent-tile overlap is exactly ol by construction, so
+            # the 0.5+0.5 seam weights sum to 1 iff 2*ol <= ucs; beyond that
+            # pixels accumulate 1.25-1.5x (found by hypothesis,
+            # tests/test_tiles_property.py — the reference's
+            # make_seamless_edges carries the same latent assumption)
+            raise ValueError(
+                f"TilePlan: need 2*overlap <= ucs for the seam feathers to "
+                f"partition unity, got ol={ol} ucs={ucs}")
         self.H, self.W = int(height), int(width)
         self.cs, self.ucs, self.ol = int(cs), int(ucs), int(ol)
         self.pad = (cs - ucs) // 2
@@ -264,8 +274,8 @@ def adapt_cs_ucs(height: int, width: int, cs: int, ucs: int,
     if arch_ok(cs) and fits(cs):
         return cs, ucs
     for c in range(cs - 8, pad2 + ol, -8):
-        if c - pad2 <= ol:
-            break
+        if c - pad2 < max(2 * ol, ol + 1):
+            break  # ucs below 2*ol can't feather correctly (TilePlan raises)
         if arch_ok(c) and fits(c):
             return c, c - pad2
     raise TilingError(
