@@ -133,6 +133,8 @@ def save_pt(sd: Dict[str, np.ndarray], fpath: str) -> str:
     """Serialize as a torch .pt state_dict (requires torch)."""
     import torch
 
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+    # np.array copy: torch.from_numpy on a non-writable view (e.g. a
+    # jnp-backed buffer) warns and risks aliasing
+    torch.save({k: torch.from_numpy(np.array(v))
                 for k, v in sd.items()}, fpath)
     return fpath

@@ -22,7 +22,7 @@ from test_models_parity import build_torch_unet, build_torch_utnet  # noqa: E402
 
 
 def _to_torch(sd):
-    return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    return {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
 
 
 @pytest.mark.parametrize("activation", ["PReLU", "ELU"])
