@@ -100,30 +100,60 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    # local: on a multi-host pod each process evaluates with its own chips
-    # (the metric JSONs are per-process; run eval single-host, or merge)
+    # local devices: on a multi-host pod each process evaluates its image
+    # shard with its own chips (merge + chief-only writes below)
     ndev = args.devices or jax.local_device_count()
-    if ndev > 1 and not args.whole_image:
-        # multi-device hosts: row-band tile sharding per image (same
-        # auto-engagement as the product CLIs, same guard rails)
-        from ..engine.tile_engine import make_sharded_denoiser
+    # per-image tile adaptation + tiny fallback — the same small-image
+    # behavior as the product CLIs (the reference's eval would crash on
+    # images below the minimum tiling, denoise_image.py:151-170)
+    from ..core import tiles as tiles_mod
+    from ..engine.tile_engine import make_sharded_denoiser, resolve_apply_fn
+    from ..models import get_network
 
-        sh = make_sharded_denoiser(
-            args.g_network, params, ndev, cs=args.cs, ucs=args.ucs,
-            activation=activation, batch_size=args.batch_size,
-            max_subpixels=args.max_subpixels)
-        engine = None
+    check_cs = getattr(get_network(args.g_network), "check_cs", None)
+    resolved = resolve_apply_fn(args.g_network, params, activation)
+    _denoisers: dict = {}
 
-        def denoise_u16(raw, scale):
-            out01 = sh.denoise_hwc(raw.astype(np.float32) / scale)
-            return np.round(np.clip(out01, 0, 1) * 65535).astype(np.uint16)
-    else:
-        engine = make_engine(args.g_network, params, cs=args.cs, ucs=args.ucs,
-                             activation=activation, batch_size=args.batch_size,
-                             max_subpixels=args.max_subpixels)
+    def _fn_for(cs: int, ucs: int):
+        key = (cs, ucs)
+        if key not in _denoisers:
+            if ndev > 1 and not args.whole_image:
+                # row-band tile sharding per image (same auto-engagement
+                # and guard rails as the product CLIs)
+                shd = make_sharded_denoiser(
+                    args.g_network, None, ndev, cs=cs, ucs=ucs,
+                    batch_size=args.batch_size, resolved=resolved,
+                    max_subpixels=args.max_subpixels)
+                _denoisers[key] = lambda raw, scale: np.round(np.clip(
+                    shd.denoise_hwc(raw.astype(np.float32) / scale), 0, 1)
+                    * 65535).astype(np.uint16)
+            else:
+                eng = make_engine(args.g_network, None, cs=cs, ucs=ucs,
+                                  resolved=resolved,
+                                  batch_size=args.batch_size,
+                                  max_subpixels=args.max_subpixels)
+                _denoisers[key] = lambda raw, scale: eng.denoise_raw(
+                    raw, scale, out_dtype="uint16")
+        return _denoisers[key]
 
-        def denoise_u16(raw, scale):
-            return engine.denoise_raw(raw, scale, out_dtype="uint16")
+    def denoise_u16(raw, scale):
+        try:
+            cs, ucs = tiles_mod.adapt_cs_ucs(raw.shape[0], raw.shape[1],
+                                             args.cs, args.ucs, check=check_cs)
+        except tiles_mod.TilingError:
+            if "tiny" not in _denoisers:
+                _denoisers["tiny"] = make_engine(
+                    args.g_network, None, resolved=resolved,
+                    max_subpixels=args.max_subpixels)
+            return _denoisers["tiny"].denoise_tiny(raw, scale,
+                                                   out_dtype="uint16")
+        return _fn_for(cs, ucs)(raw, scale)
+
+    # whole-image mode still needs a plain engine handle
+    engine = (make_engine(args.g_network, None, cs=args.cs, ucs=args.ucs,
+                          resolved=resolved, batch_size=args.batch_size,
+                          max_subpixels=args.max_subpixels)
+              if args.whole_image else None)
 
     # decode-ahead: the next image decodes on a worker thread while the
     # current one runs on the device (the reference re-spawned a python
@@ -137,6 +167,18 @@ def main(argv=None):
         if fpath not in pending:
             pending[fpath] = decode_pool.submit(imgio.load_img_raw, fpath)
 
+    # multi-host pods: each process evaluates a strided shard of every
+    # set's images on its local devices (shared filesystem assumed for the
+    # denoised outputs); per-set metrics merge across processes below via
+    # an allgather of (sum, count) — the allgather doubles as the barrier
+    # that makes the chief-only JSON writes and legacy scorer safe
+    pcount, pidx = jax.process_count(), jax.process_index()
+    is_chief = pidx == 0
+    if pcount > 1:
+        print(f"multi-host eval: process {pidx}/{pcount} takes every "
+              f"{pcount}th image of each set")
+    LOSS_KEYS = ("mse", "ssim", "msssim")
+
     losses_per_set: List[dict] = []
     for aset in sets:
         set_dir = os.path.join(args.noisy_dir, aset)
@@ -145,6 +187,10 @@ def main(argv=None):
         work = [fn for fn in sorted(os.listdir(set_dir))
                 if os.path.isfile(os.path.join(set_dir, fn))
                 and os.path.join(set_dir, fn) != baseline]
+        if pcount > 1:
+            from ..parallel import mesh as pmesh
+
+            work = pmesh.process_shard(work)
 
         def _ofp(fn2):
             p = os.path.join(save_dir, fn2)
@@ -178,10 +224,26 @@ def main(argv=None):
             print(f"in: {in_fpath}, out: {out_fpath}, clean: {baseline}")
             print(cur)
             losses_per_img.append(cur)
-        if losses_per_img:
+        if pcount > 1:
+            # every process calls the allgather for every set (even with an
+            # empty local shard) — it is a collective AND the cross-process
+            # completion barrier for this set's output files
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            local = np.array(
+                [sum(d[k] for d in losses_per_img) for k in LOSS_KEYS]
+                + [float(len(losses_per_img))], np.float32)
+            tot = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+            if tot[-1] > 0:
+                losses_per_set.append(
+                    {k: float(tot[i] / tot[-1]) for i, k in enumerate(LOSS_KEYS)})
+        elif losses_per_img:
             losses_per_set.append(utilities.avg_listofdicts(losses_per_img))
     overall = utilities.avg_listofdicts(losses_per_set)
     print(overall)
+    if not is_chief:
+        return overall  # chief writes the JSONs / legacy score (same values)
 
     # record into trainres.json (best-effort) + testres.json (denoise_dir.py:105-129)
     epoch = None

@@ -121,6 +121,61 @@ def test_dir_batch_two_process_pod(tmp_path):
     assert produced == [f"img{i}.jpg" for i in range(4)], produced
 
 
+EVAL_CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_multihost_eval_child.py")
+
+
+@pytest.mark.slow
+def test_eval_two_process_pod(tmp_path):
+    """The eval harness on a 2-process pod: images shard across processes,
+    the per-set metrics merge via process_allgather (both ranks must report
+    the SAME overall numbers), the chief alone writes testres.json, and
+    together the ranks denoise every non-baseline image."""
+    import json
+
+    import cv2
+    import numpy as np
+
+    pytest.importorskip("jax")
+    import jax as _jax
+
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.models.utnet import UtNet
+
+    noisy = tmp_path / "sets"
+    results = tmp_path / "results"
+    ckpt_dir = tmp_path / "run"
+    ckpt_dir.mkdir()
+    rng = np.random.default_rng(11)
+    n_noisy = 0
+    for scene in ("sceneA", "sceneB"):
+        d = noisy / scene
+        d.mkdir(parents=True)
+        for iso in (100, 400, 800, 1600):  # ISO100 = baseline (excluded)
+            img = rng.integers(0, 65536, (64, 72, 3), dtype=np.uint16)
+            cv2.imwrite(str(d / f"NIND_{scene}_ISO{iso}.png"), img[..., ::-1])
+            n_noisy += iso != 100
+    ckpt = str(ckpt_dir / "generator_3.npz")
+    params_io.save(UtNet.init(_jax.random.PRNGKey(0), funit=8), ckpt)
+
+    outs = _run_pod(EVAL_CHILD, timeout=600,
+                    extra_args=[str(noisy), str(results), ckpt])
+    lines = []
+    for pid, out in enumerate(outs):
+        marks = [ln for ln in out.splitlines()
+                 if ln.startswith(f"MULTIHOST_EVAL_OK proc={pid}")]
+        assert marks, out
+        lines.append(marks[0].split(" ", 2)[2])
+        assert "takes every 2th image" in out, out
+    assert lines[0] == lines[1], lines  # merged metrics agree across ranks
+    # chief wrote testres.json next to the checkpoint; every image denoised
+    tr = json.loads((ckpt_dir / "testres.json").read_text())
+    assert tr, tr
+    save_dir = results / ckpt_dir.name
+    produced = [p for p in save_dir.iterdir() if p.suffix in (".png", ".tif")]
+    assert len(produced) == n_noisy, sorted(p.name for p in produced)
+
+
 def test_init_distributed_guard():
     """num_processes without a coordinator must fail fast with a clear
     message, not pass coordinator_address=None into jax.distributed
