@@ -437,6 +437,61 @@ def bench_train(args, cpu_mps):
             "vs_baseline": round(cps / measure_cpu_train_crops_s(args.funit), 2)}
 
 
+def bench_serve(args, cpu_mps, n_requests: int = 3):
+    """Serving-daemon steady state: POST a 3 MP 16-bit PNG to a warm
+    in-process DenoiseService over real HTTP (decode + tiled denoise +
+    RL x10 + JPEG encode per request — pipeline/serve.py). The CPU
+    reference is the pipeline row's: identical per-image work, minus HTTP
+    framing the reference cannot express (it has no serving mode at all)."""
+    import http.client
+    import tempfile
+    import threading
+
+    import cv2
+    import numpy as np
+
+    import jax
+
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.models.utnet import UtNet
+    from nind_denoise_tpu.pipeline import serve as serve_mod
+
+    h, w = 1500, 2000  # 3 MP
+    img = (np.random.default_rng(0).random((h, w, 3)) * 65535).astype(np.uint16)
+    png = cv2.imencode(".png", img)[1].tobytes()
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "generator_1.npz")
+        params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=args.funit), ckpt)
+        svc = serve_mod.DenoiseService("UtNet", ckpt,
+                                       batch_size=args.batch or 8)
+        httpd = serve_mod.serve(svc, "127.0.0.1", 0)  # ephemeral port
+        port = httpd.server_address[1]
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            def post():
+                conn = http.client.HTTPConnection("127.0.0.1", port)
+                conn.request("POST", "/denoise?output=jpg", body=png)
+                resp = conn.getresponse()
+                body = resp.read()
+                conn.close()
+                assert resp.status == 200, (resp.status, body[:200])
+                return body
+
+            post()  # warm: compiles once; later requests are steady-state
+            t0 = time.perf_counter()
+            for _ in range(n_requests):
+                post()
+            dt = (time.perf_counter() - t0) / n_requests
+        finally:
+            httpd.shutdown()
+            svc.close()
+    mps = (h * w / 1e6) / dt
+    return {"metric": "serve_http_per_request_3mp", "value": round(mps, 3),
+            "unit": "MP/s",
+            "vs_baseline": round(mps / measure_cpu_pipeline_mps(args.funit), 2)}
+
+
 MODES = {
     "tiled": bench_tiled,
     "single_tile": lambda a, c, quick=False: bench_single_tile(a, c),
@@ -444,6 +499,7 @@ MODES = {
     "pipeline": lambda a, c, quick=False: bench_pipeline(a, c),
     "nightmode_batch": lambda a, c, quick=False: bench_nightmode_batch(a, c),
     "train": lambda a, c, quick=False: bench_train(a, c),
+    "serve": lambda a, c, quick=False: bench_serve(a, c),
 }
 
 
