@@ -112,9 +112,76 @@ def export_unet(params: Dict, state: Dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_hul_disc(params: Dict, state: Dict, network: str) -> Dict[str, np.ndarray]:
+    """Hul discriminator family -> reference-layout state_dict (exact
+    inverse of torch_import.import_hul_disc's Sequential-index walk over
+    the declarative channel plan; Hul.py:255-417 et al.)."""
+    from . import hul
+
+    cls = {"Hul112Disc": hul.Hul112Disc, "Hulb112Disc": hul.Hulb112Disc,
+           "Hull112Disc": hul.Hull112Disc, "Hulf112Disc": hul.Hulf112Disc}[network]
+    sd: Dict[str, np.ndarray] = {}
+    for bname, specs in cls.plan.items():
+        idx = 0
+        for li, (_cin_m, _cout_m, _k, _dil, _stride, bias, bn) in enumerate(specs):
+            lay = params[bname][li]
+            sd[f"{bname}.{idx}.weight"] = conv_w_inv(lay["w"])
+            if bias:
+                sd[f"{bname}.{idx}.bias"] = _np(lay["b"])
+            idx += 1
+            last_decide = bname == "decide" and li == len(specs) - 1
+            if not last_decide:
+                if cls.activation == "PReLU":
+                    sd[f"{bname}.{idx}.weight"] = _np(lay["a"]).reshape(1)
+                idx += 1  # activation occupies a Sequential slot either way
+            if bn and cls.use_bn:
+                st = state[bname][li]
+                sd[f"{bname}.{idx}.weight"] = _np(lay["bn"]["scale"])
+                sd[f"{bname}.{idx}.bias"] = _np(lay["bn"]["bias"])
+                sd[f"{bname}.{idx}.running_mean"] = _np(st["mean"])
+                sd[f"{bname}.{idx}.running_var"] = _np(st["var"])
+                sd[f"{bname}.{idx}.num_batches_tracked"] = np.zeros((), np.int64)
+                idx += 1
+    if "_out_a" in params:
+        sd["out_activation.weight"] = _np(params["_out_a"]).reshape(1)
+    return sd
+
+
+def export_hul_gen(params: Dict, network: str) -> Dict[str, np.ndarray]:
+    """Hulb128Net / Hulbs128Net -> reference-layout state_dict (inverse of
+    torch_import.import_hul_gen; Hul.py:12-250, :421-658)."""
+    from . import hul_gen
+
+    cls = {"Hulb128Net": hul_gen.Hulb128Net,
+           "Hulbs128Net": hul_gen.Hulbs128Net}[network]
+    conv_types = {"c", "d2", "d5", "s3"}
+    sd: Dict[str, np.ndarray] = {}
+    for bname, specs in hul_gen._PLAN.items():
+        idx = 0
+        for li, (_cin_m, _cout_m, ltype, _bias) in enumerate(specs):
+            lay = params[bname][li]
+            wmap = conv_w_inv if ltype in conv_types else tconv3_w_inv
+            sd[f"{bname}.{idx}.weight"] = wmap(lay["w"])
+            if "b" in lay:
+                sd[f"{bname}.{idx}.bias"] = _np(lay["b"])
+            idx += 1
+            last_head = bname == "dec126to128std" and li == len(specs) - 1
+            if not last_head:
+                if cls.act == "PReLU":
+                    sd[f"{bname}.{idx}.weight"] = _np(lay["a"]).reshape(1)
+                idx += 1
+    if "_final_a" in params:
+        sd["activation.weight"] = _np(params["_final_a"]).reshape(1)
+    return sd
+
+
+_HUL_DISCS = ("Hul112Disc", "Hulb112Disc", "Hull112Disc", "Hulf112Disc")
+_HUL_GENS = ("Hulb128Net", "Hulbs128Net")
+
+
 def export_checkpoint(tree, network: str) -> Dict[str, np.ndarray]:
     """Dispatch by architecture name. ``tree`` is params, or {params, state}
-    as saved by train/loop (GeneratorWrapper.save_model)."""
+    as saved by train/loop (GeneratorWrapper/DiscriminatorWrapper)."""
     params = tree["params"] if isinstance(tree, dict) and "params" in tree else tree
     state = tree.get("state") if isinstance(tree, dict) else None
     if network == "UtNet":
@@ -125,8 +192,15 @@ def export_checkpoint(tree, network: str) -> Dict[str, np.ndarray]:
                              "checkpoint with train/loop, or pass "
                              "{'params':..., 'state':...})")
         return export_unet(params, state)
-    raise NotImplementedError(f"torch export for {network} (UtNet and UNet "
-                              "are the reference's generator formats)")
+    if network in _HUL_DISCS:
+        if state is None:
+            raise ValueError(f"{network} export needs BatchNorm state")
+        return export_hul_disc(params, state, network)
+    if network in _HUL_GENS:
+        return export_hul_gen(params, network)
+    raise NotImplementedError(
+        f"torch export for {network} (supported: UtNet, UNet, Hul "
+        "discriminators, Hulb/Hulbs generators)")
 
 
 def save_pt(sd: Dict[str, np.ndarray], fpath: str) -> str:

@@ -74,6 +74,41 @@ def test_unet_export_loads_strict_and_matches():
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("net,in_ch", [("Hul112Disc", 3), ("Hulb112Disc", 3),
+                                       ("Hull112Disc", 3), ("Hulf112Disc", 6)])
+def test_hul_disc_export_roundtrip_strict(net, in_ch):
+    """export_hul_disc inverts import_hul_disc bit-exactly, and the result
+    strict-loads into the reference-layout torch twin."""
+    from test_models_zoo import _build_hul_twin
+
+    from nind_denoise_tpu.models import hul
+
+    twin = _build_hul_twin(getattr(hul, net), in_ch, funit=2)
+    sd0 = twin.state_dict()
+    params, state = torch_import.import_hul_disc(sd0, net)
+    sd1 = torch_export.export_hul_disc(params, state, net)
+    assert set(sd1) == set(sd0.keys())
+    for k, v in sd0.items():
+        np.testing.assert_array_equal(sd1[k], v.numpy())
+    twin.load_state_dict(_to_torch(sd1), strict=True)
+
+
+@pytest.mark.parametrize("net", ["Hulb128Net", "Hulbs128Net"])
+def test_hul_gen_export_roundtrip_strict(net):
+    from test_hul_gen import _build_hulb_twin
+
+    from nind_denoise_tpu.models import hul_gen
+
+    twin = _build_hulb_twin(getattr(hul_gen, net), funit=1)
+    sd0 = twin.state_dict()
+    params = torch_import.import_hul_gen(sd0, net)
+    sd1 = torch_export.export_hul_gen(params, net)
+    assert set(sd1) == set(sd0.keys())
+    for k, v in sd0.items():
+        np.testing.assert_array_equal(sd1[k], v.numpy())
+    twin.load_state_dict(_to_torch(sd1), strict=True)
+
+
 def test_convert_checkpoint_reverse_cli(tmp_path):
     """nind-convert-checkpoint mine.npz mine.pt --network UtNet: the written
     .pt must deserialize to the exported state_dict bit-for-bit."""
