@@ -54,10 +54,11 @@ def main(argv=None):
     ap.add_argument("dst", nargs="?",
                     help="output path; .npz (default) or .pt for npz->torch")
     ap.add_argument("--network", default="UtNet",
-                    help="architecture (UtNet, UNet, MobileNetV3, or a Hul "
-                         "discriminator: Hul112Disc/Hulb112Disc/"
-                         "Hull112Disc/Hulf112Disc); reverse direction "
-                         "supports UtNet and UNet")
+                    help="architecture (UtNet, UNet, MobileNetV3, a Hul "
+                         "discriminator Hul112Disc/Hulb112Disc/Hull112Disc/"
+                         "Hulf112Disc, or a Hulb128Net/Hulbs128Net "
+                         "generator); reverse (.npz -> .pt) supports all "
+                         "but MobileNetV3")
     args = ap.parse_args(argv)
     reverse = args.src.endswith(".npz")
     default_ext = ".pt" if reverse else ".npz"
