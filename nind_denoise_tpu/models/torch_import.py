@@ -29,6 +29,8 @@ import numpy as np
 
 
 def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):  # torch-free path (pt_reader)
+        return np.asarray(t, dtype=np.float32)
     return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
 
 
@@ -51,8 +53,15 @@ def upconv_w(t) -> np.ndarray:
 
 
 def load_state_dict(fpath: str) -> Dict[str, "np.ndarray"]:
-    import torch
+    try:
+        import torch
+    except ImportError:
+        # torch-free host (production/serving): read the zip checkpoint
+        # directly (models/pt_reader.py) — no torch dependency needed to
+        # consume reference .pt files
+        from . import pt_reader
 
+        return pt_reader.load_pt_state_dict(fpath)
     sd = torch.load(fpath, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()

@@ -67,10 +67,11 @@ def main(argv=None):
         if reverse:
             out = convert_reverse(args.src, dst, args.network)
         else:
+            # torch-free even without torch installed: the importer falls
+            # back to models/pt_reader.py's zip reader
             out = convert(args.src, dst, args.network)
     except ImportError as e:
-        sys.exit(f"error: converting a torch checkpoint requires torch "
-                 f"installed ({e})")
+        sys.exit(f"error: writing a torch .pt requires torch installed ({e})")
     print(f"converted {args.src} -> {out}")
     return out
 
