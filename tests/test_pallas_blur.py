@@ -107,6 +107,33 @@ def test_pallas_rl_fused_short_tail_band(h):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
+def test_pallas_rl_fused_shape_property():
+    """Hypothesis sweep of the band/boundary geometry: random (h, w, sigma)
+    against the XLA oracle in interpret mode. The fixed cases above pin the
+    known-tricky configurations (short tail band, single band, wide taps);
+    this searches the space between them — every h mod band_h residue class,
+    lane-unaligned widths, both tap radii — with iterations=2 so the
+    padded-IO contract (iteration N+1 consumes iteration N's in-kernel
+    edge-replicate padding) is always exercised."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(h=st.integers(8, 300), w=st.integers(16, 300),
+           sigma=st.sampled_from([1.0, 2.0]), seed=st.integers(0, 2**31 - 1))
+    def check(h, w, sigma, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.random((h, w, 3), dtype=np.float32) + 0.05
+        ref = np.asarray(rl_deblur.rl_deblur(jnp.asarray(img), sigma, 2,
+                                             impl="xla"))
+        got = np.asarray(pallas_blur.rl_deblur_pallas_fused(
+            jnp.asarray(img), sigma, 2, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+    check()
+
+
 def test_pallas_rl_fused_wide_taps():
     """sigma=3 (r=9 > one sublane tile): halo2 rounds to 16, band_h shrinks
     to keep est_rows <= 128; numerics must hold."""
