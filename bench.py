@@ -503,6 +503,43 @@ MODES = {
 }
 
 
+def wait_for_backend(budget_s: float = 2700.0) -> bool:
+    """Gate the TPU modes on a live backend: the axon service has outage
+    windows of tens of minutes (observed 2026-08-18) during which backend
+    init blocks 18-25 min and then fails UNAVAILABLE; without this gate a
+    driver bench run landing in such a window records an all-error
+    scorecard. Probes in a SUBPROCESS (an in-process init failure is cached
+    by the jax plugin and would poison this process) and never kills an
+    attempt (a killed tunnel client wedges the service — CLAUDE.md); on a
+    CPU-only host the probe succeeds immediately. Returns True when a
+    probe succeeds, False when the budget runs out (modes then error
+    individually, same as before)."""
+    import subprocess
+
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp, numpy as np;"
+             "print(np.asarray(jax.jit(lambda a: a * 2)(jnp.ones(8)))[0])"],
+            capture_output=True)
+        if r.returncode == 0:
+            if attempt > 1:
+                print(f"backend up after {time.time() - t0:.0f}s "
+                      f"({attempt} probes)", file=sys.stderr)
+            return True
+        elapsed = time.time() - t0
+        if elapsed >= budget_s:
+            print(f"backend still down after {elapsed:.0f}s — proceeding "
+                  "(modes will record errors)", file=sys.stderr)
+            return False
+        print(f"backend probe {attempt} failed ({elapsed:.0f}s elapsed), "
+              "retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     # persistent compile cache: the six modes compile ~10 distinct programs,
     # 30-120 s each through the tunnel cold; cached they load in seconds
@@ -522,6 +559,7 @@ def main():
     import contextlib
 
     cpu_mps = measure_cpu_baseline(funit=args.funit)
+    wait_for_backend()
     if args.mode != "all":
         with contextlib.redirect_stdout(sys.stderr):  # CLI modes print
             res = MODES[args.mode](args, cpu_mps, quick=args.quick)
