@@ -20,6 +20,28 @@ def test_identity_network_reconstructs():
     np.testing.assert_allclose(out, img, atol=1e-6)
 
 
+def test_engine_program_reuse_across_sizes():
+    """Same invariant as test_sharded_program_reuse_across_sizes, for the
+    single-device engine: _step is keyed on (batch, cs, BUCKETed band/canvas
+    widths), so a mixed-resolution workload must reuse compiled programs —
+    each new program is a 30s-15min remote compile in the deployment. A
+    width crossing the 512 bucket must add programs; a same-bucket size
+    must add none."""
+    eng = TileEngine(lambda p, x: x, params={}, cs=64, ucs=48, ol=4,
+                     batch_size=3, compute_dtype="float32")
+    rng = np.random.default_rng(4)
+    a = rng.random((100, 130, 3), dtype=np.float32)
+    np.testing.assert_allclose(eng.denoise_hwc(a), a, atol=1e-6)
+    n0 = eng._step._cache_size()
+    assert n0 >= 1
+    b = rng.random((110, 133, 3), dtype=np.float32)  # same buckets
+    np.testing.assert_allclose(eng.denoise_hwc(b), b, atol=1e-6)
+    assert eng._step._cache_size() == n0
+    c = rng.random((100, 700, 3), dtype=np.float32)  # crosses W bucket
+    np.testing.assert_allclose(eng.denoise_hwc(c), c, atol=1e-6)
+    assert eng._step._cache_size() > n0
+
+
 @pytest.mark.slow  # >20 s on the 1-core host
 def test_engine_matches_host_stitch():
     params = UtNet.init(jax.random.PRNGKey(0), funit=4)
