@@ -156,3 +156,42 @@ def test_grapher_plot_writes_png(tmp_path):
     out = str(tmp_path / "g.png")
     grapher.plot([str(tmp_path / "exp1")], metric="ssim", out_fpath=out)
     assert os.path.isfile(out) and os.path.getsize(out) > 0
+
+
+def test_bench_wait_for_backend_paths(monkeypatch):
+    """bench.wait_for_backend (the outage gate in front of the driver's
+    scorecard run): retries failing probes on a 60s cadence until one
+    succeeds, gives up once the budget is spent, and probes in a
+    subprocess (stubbed here) rather than in-process."""
+    import importlib.util
+    import subprocess
+    import time as _time
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    calls = {"n": 0}
+
+    class _R:
+        pass
+
+    def probe_succeeds_third(cmd, capture_output=True):
+        calls["n"] += 1
+        r = _R()
+        r.returncode = 0 if calls["n"] >= 3 else 1
+        return r
+
+    monkeypatch.setattr(subprocess, "run", probe_succeeds_third)
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    assert bench.wait_for_backend(budget_s=9999) is True
+    assert calls["n"] == 3
+
+    def probe_never(cmd, capture_output=True):
+        r = _R()
+        r.returncode = 1
+        return r
+
+    monkeypatch.setattr(subprocess, "run", probe_never)
+    assert bench.wait_for_backend(budget_s=0) is False
