@@ -14,19 +14,45 @@ delete the dir to recover; entries are content-addressed so this is safe).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
-_DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
-                            "nind_denoise_tpu", "jax")
+_BASE_DIR = os.path.join(os.path.expanduser("~"), ".cache",
+                         "nind_denoise_tpu", "jax")
+
+
+def _host_tag() -> str:
+    """Fingerprint of the host CPU's feature set. XLA's cache key does NOT
+    cover the CPU features its :CPU AOT executables were tuned for, so a
+    cache directory that outlives a container migration to a different
+    machine serves stale executables that crash with SIGILL (observed
+    2026-08-18: entries carrying +prefer-no-scatter/+prefer-no-gather from
+    a previous host killed a worker on this one). Keying the default dir
+    by the cpuinfo flags line makes each machine population disjoint; TPU
+    entries re-compile once per host, which the remote-compile economics
+    absorb."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    digest = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    return f"{platform.machine()}-{digest}"
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
 
 
 def enable(cache_dir: str | None = None) -> str | None:
     """Point JAX at a persistent compilation cache directory (idempotent).
-    Returns the directory in effect, or None when disabled."""
+    Returns the directory in effect, or None when disabled. The default
+    location is keyed per host CPU (see _host_tag); an explicit
+    ``cache_dir`` or a pre-set JAX_COMPILATION_CACHE_DIR is respected
+    verbatim (callers/env managing their own placement own its hygiene)."""
     if os.environ.get("NIND_JAX_CACHE", "1") in ("0", "false", "no"):
         return None
     d = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-         or _DEFAULT_DIR)
+         or os.path.join(_BASE_DIR, _host_tag()))
     os.makedirs(d, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", d)
     import sys

@@ -114,6 +114,25 @@ def test_jaxcache_enable_respects_disable_env(tmp_path, monkeypatch):
     assert jax.config.jax_compilation_cache_dir == d
 
 
+def test_jaxcache_default_dir_is_host_keyed(tmp_path, monkeypatch):
+    """The DEFAULT cache dir must be keyed by the host CPU fingerprint:
+    a cache population outliving a container migration to a different
+    machine serves XLA:CPU AOT executables tuned for the old CPU's
+    features (which XLA's own cache key does not cover) — observed as a
+    SIGILL'd pod worker on 2026-08-18. Explicit dirs stay verbatim (the
+    caller owns their hygiene)."""
+    monkeypatch.delenv("NIND_JAX_CACHE", raising=False)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.setattr(jaxcache, "_BASE_DIR", str(tmp_path / "base"))
+    got = jaxcache.enable()
+    tag = jaxcache._host_tag()
+    assert got == os.path.join(str(tmp_path / "base"), tag)
+    assert os.path.isdir(got) and tag and tag != "unknown"
+    # same-process idempotence: the env var now pins it for children
+    assert os.environ["JAX_COMPILATION_CACHE_DIR"] == got
+    assert jaxcache.enable() == got
+
+
 # -- conf path helpers -------------------------------------------------------
 
 def test_conf_path_helpers():
