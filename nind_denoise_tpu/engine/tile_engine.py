@@ -30,6 +30,7 @@ Output semantics match the reference: NO clipping before fp32 writes
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 from functools import partial
@@ -63,8 +64,16 @@ class TileEngine:
                  compute_dtype: str = "bfloat16", precision: str = "default",
                  max_subpixels: Optional[int] = None,
                  debug_dir: Optional[str] = None,
-                 size_check=None):
+                 size_check=None, device=None):
         self.apply_fn = apply_fn
+        # device: optional jax.Device this engine is pinned to. Params are
+        # COMMITTED there and every public denoise entry point runs under a
+        # thread-local jax.default_device scope, so uploads, canvases, and
+        # jit dispatch all stay on that chip. This is how the request-level
+        # device pool (parallel/engine_pool) runs one independent engine
+        # replica per device with zero cross-device traffic. None (the
+        # default) keeps ordinary default-device behavior.
+        self._device = device
         self.cs, self.ucs, self.ol = cs, ucs, ol
         self.size_check = size_check  # arch size validator (denoise_tiny)
         self.pad = (cs - ucs) // 2
@@ -77,7 +86,7 @@ class TileEngine:
         # pre-composes derived kernels (fastconv) from these params into
         # apply_fn's closure; swapping self._params afterwards would leave
         # those silently stale (ADVICE r2). Build a new engine per checkpoint.
-        self._params = jax.device_put(params)
+        self._params = jax.device_put(params, device)
         self._step = jax.jit(self._make_step(), donate_argnums=(1,),
                              static_argnames=())
         self._finish = jax.jit(self._finish_fn,
@@ -98,6 +107,15 @@ class TileEngine:
     def params(self):
         """Read-only: see the immutability invariant in __init__."""
         return self._params
+
+    def _placement(self):
+        """Thread-local placement scope for this engine's device (see
+        ``device`` in __init__); a no-op when unpinned. Must wrap every
+        code path that creates device arrays (jnp.zeros/asarray and the
+        lazy device_put inside transfer._PutFuture.result all run on the
+        calling thread)."""
+        return (jax.default_device(self._device) if self._device is not None
+                else contextlib.nullcontext())
 
     # -- compiled programs ----------------------------------------------------
 
@@ -191,6 +209,12 @@ class TileEngine:
 
     def denoise_raw(self, raw_hwc: np.ndarray, scale: float,
                     out_dtype: str = "float32", progress: bool = False) -> np.ndarray:
+        with self._placement():
+            return self._denoise_raw_impl(raw_hwc, scale, out_dtype, progress)
+
+    def _denoise_raw_impl(self, raw_hwc: np.ndarray, scale: float,
+                          out_dtype: str = "float32",
+                          progress: bool = False) -> np.ndarray:
         """Denoise from storage-dtype pixels, fully streamed.
 
         raw_hwc: (H, W, C) uint8/uint16/float; ``scale`` divides to [0, 1]
@@ -349,6 +373,10 @@ class TileEngine:
         return self._whole_jit
 
     def denoise_whole(self, img_chw: np.ndarray, pad: int = 0) -> np.ndarray:
+        with self._placement():
+            return self._denoise_whole_impl(img_chw, pad)
+
+    def _denoise_whole_impl(self, img_chw: np.ndarray, pad: int = 0) -> np.ndarray:
         """Whole-image mode (reference --whole_image --pad,
         denoise_image.py:196-197): one forward at full size, side-mirror
         padding with zero corners, crop back.
@@ -370,6 +398,11 @@ class TileEngine:
 
     def denoise_tiny(self, raw_hwc: np.ndarray, scale: float,
                      out_dtype: str = "uint16"):
+        with self._placement():
+            return self._denoise_tiny_impl(raw_hwc, scale, out_dtype)
+
+    def _denoise_tiny_impl(self, raw_hwc: np.ndarray, scale: float,
+                           out_dtype: str = "uint16"):
         """Images below the minimum tiling (adapt_cs_ucs ValueError): the
         reference aborts on these — its per-tile mirror pad needs
         pad <= image size (denoise_image.py:151-170). Here: mirror-pad
@@ -510,3 +543,88 @@ def make_engine(network: str, params, cs: Optional[int] = None,
     apply_fn, params = (resolved if resolved is not None
                         else resolve_apply_fn(network, params, activation))
     return TileEngine(apply_fn, params, cs, ucs, size_check=check, **kwargs)
+
+
+class AdaptiveEngine:
+    """Per-request denoise recipe: engine-per-tile-size cache + small-image
+    tiling adaptation + tiny-image fallback, optionally pinned to ONE
+    device.
+
+    This is the shape-agnostic wrapper the serving daemon uses for every
+    request (request sizes differ, engines are keyed by adapted (cs, ucs))
+    and the unit of replication for the request-level device pool
+    (parallel/engine_pool.EnginePool): with ``device`` set, the forward is
+    resolved and params are committed on that device, and every engine the
+    cache builds inherits the pin — a pool of these serves concurrent
+    requests with zero cross-device traffic.
+
+    The reference has no analog (fresh process per image,
+    /root/reference/src/denoise.py __main__); tiling adaptation extends
+    its fixed autodetected tile sizes (denoise_image.py:59-79) down to
+    arbitrarily small inputs.
+    """
+
+    def __init__(self, network: str, params, cs: Optional[int] = None,
+                 ucs: Optional[int] = None, activation: str = "PReLU",
+                 batch_size: int = 8, compute_dtype: str = "bfloat16",
+                 precision: str = "default",
+                 max_subpixels: Optional[int] = None,
+                 device=None, resolved=None):
+        self._network = network
+        self._device = device
+        self.cs, self.ucs, self._check = _resolve_tiles(network, cs, ucs)
+        self._kw = dict(activation=activation, batch_size=batch_size,
+                        compute_dtype=compute_dtype, precision=precision,
+                        max_subpixels=max_subpixels, device=device)
+        with self._placement():
+            if device is not None:
+                # per-device resolve: the UtNet fast path pre-composes
+                # derived kernel trees as jit closure constants, which must
+                # colocate with the committed params (a shared `resolved`
+                # would pin every replica's constants to one chip)
+                params = jax.device_put(params, device)
+                resolved = None
+            self._resolved = (resolved if resolved is not None
+                              else resolve_apply_fn(network, params,
+                                                    activation))
+        self._engines: Dict = {}
+
+    def _placement(self):
+        return (jax.default_device(self._device) if self._device is not None
+                else contextlib.nullcontext())
+
+    @property
+    def device(self):
+        return self._device
+
+    def _engine_for(self, cs: int, ucs: int) -> TileEngine:
+        key = (cs, ucs)
+        if key not in self._engines:
+            with self._placement():
+                self._engines[key] = make_engine(
+                    self._network, None, cs=cs, ucs=ucs,
+                    resolved=self._resolved, **self._kw)
+        return self._engines[key]
+
+    def _tiny_engine(self) -> TileEngine:
+        if "tiny" not in self._engines:
+            with self._placement():
+                self._engines["tiny"] = make_engine(
+                    self._network, None, resolved=self._resolved, **self._kw)
+        return self._engines["tiny"]
+
+    def denoise_raw(self, raw_hwc: np.ndarray, scale: float,
+                    out_dtype: str = "float32"):
+        """Tiling-adaptive denoise from storage-dtype pixels; out_dtype as
+        TileEngine.denoise_raw (incl. 'device' for on-device post-ops)."""
+        try:
+            cs, ucs = tiles_mod.adapt_cs_ucs(raw_hwc.shape[0],
+                                             raw_hwc.shape[1],
+                                             self.cs, self.ucs,
+                                             check=self._check)
+        except tiles_mod.TilingError:
+            # below the minimum tiling: pad-to-valid single forward
+            return self._tiny_engine().denoise_tiny(raw_hwc, scale,
+                                                    out_dtype=out_dtype)
+        return self._engine_for(cs, ucs).denoise_raw(raw_hwc, scale,
+                                                     out_dtype=out_dtype)

@@ -1,0 +1,145 @@
+"""Request-level device parallelism: one independent engine replica per
+device, a shared work queue, zero cross-device collectives.
+
+The third multi-device strategy next to row-band tile sharding
+(parallel/sharded_engine — minimizes single-request LATENCY) and same-shape
+image batching (parallel/batch_engine — lockstep directory batches): the
+pool maximizes aggregate THROUGHPUT for concurrent, independently-sized
+requests. Each request runs start-to-finish on one chip — its uploads,
+tile programs, RL post-ops, and quantize never leave that device — so N
+chips serve N requests at exactly single-chip speed (embarrassingly
+parallel; no sharding losses, no collectives, no shape coupling between
+requests).
+
+The reference has no analog: its only invocation model is a fresh process
+per image (/root/reference/src/denoise.py __main__), so concurrent serving
+does not exist there at all.
+
+Thread/device discipline: each worker thread owns its device outright
+(params committed there, every array creation under that thread's
+jax.default_device scope — see TileEngine._placement). Local backends
+accept concurrent dispatch from multiple threads to DISTINCT devices; the
+dev-tunnel single-dispatcher rule (CLAUDE.md) is a remote-tunnel
+constraint and moot here because tunneled hosts expose one device, giving
+a one-worker pool — the same serialization the rule demands.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+class EnginePool:
+    """N device-pinned AdaptiveEngine replicas consuming one bounded queue.
+
+    ``submit(fn)`` blocks until some worker has run ``fn(worker_engine)``
+    and returns its result; with ``block=False`` a full queue raises
+    ``queue.Full`` immediately (callers map this to backpressure, e.g.
+    HTTP 503 in pipeline/serve). Jobs receive the worker's AdaptiveEngine
+    so device-side post-ops (the RL stage) run on the same chip as the
+    denoise that produced their input.
+    """
+
+    def __init__(self, network: str, params, devices=None, *,
+                 cs: Optional[int] = None, ucs: Optional[int] = None,
+                 activation: str = "PReLU", batch_size: int = 8,
+                 compute_dtype: str = "bfloat16", precision: str = "default",
+                 max_subpixels: Optional[int] = None, max_pending: int = 0):
+        import jax
+
+        from ..engine.tile_engine import AdaptiveEngine
+
+        devices = list(jax.local_devices() if devices is None else devices)
+        if not devices:
+            raise ValueError("EnginePool needs at least one device")
+        # replicas build serially here (not in the worker threads) so
+        # constructor errors surface eagerly and later replicas reuse the
+        # first one's compile-cache entries
+        self._replicas: List[AdaptiveEngine] = [
+            AdaptiveEngine(network, params, cs=cs, ucs=ucs,
+                           activation=activation, batch_size=batch_size,
+                           compute_dtype=compute_dtype, precision=precision,
+                           max_subpixels=max_subpixels, device=d)
+            for d in devices]
+        self.devices = devices
+        self.cs, self.ucs = self._replicas[0].cs, self._replicas[0].ucs
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._closing = threading.Event()
+        self._workers = [threading.Thread(target=self._run, args=(r,),
+                                          daemon=True)
+                         for r in self._replicas]
+        for t in self._workers:
+            t.start()
+
+    # -- worker loop -----------------------------------------------------
+
+    def _run(self, replica):
+        while True:
+            try:
+                job = self._q.get(timeout=0.25)
+            except queue.Empty:
+                if self._closing.is_set():
+                    return
+                continue
+            if job is None:
+                return
+            fn, done = job
+            try:
+                done["result"] = fn(replica)
+            except BaseException as e:  # noqa: BLE001 — the waiter must
+                # always be released (same rationale as serve's dispatcher)
+                done["error"] = (e if isinstance(e, Exception) else
+                                 RuntimeError(f"fatal pool error: {e!r}"))
+            finally:
+                done["event"].set()
+
+    # -- submission ------------------------------------------------------
+
+    def submit(self, fn: Callable, block: bool = True):
+        """Run ``fn(worker_engine)`` on some device's worker; returns its
+        result (re-raising its exception). block=False raises queue.Full
+        instead of waiting for queue space."""
+        if self._closing.is_set():
+            raise RuntimeError("EnginePool is closed")
+        done = {"event": threading.Event()}
+        if block:
+            self._q.put((fn, done))
+        else:
+            self._q.put_nowait((fn, done))
+        done["event"].wait()
+        if "error" in done:
+            raise done["error"]
+        return done["result"]
+
+    def denoise_raw(self, raw_hwc: np.ndarray, scale: float,
+                    out_dtype: str = "float32"):
+        """Blocking convenience: tiling-adaptive denoise on some device."""
+        return self.submit(lambda w: w.denoise_raw(raw_hwc, scale,
+                                                   out_dtype=out_dtype))
+
+    def map(self, items, fn: Callable):
+        """Run ``fn(worker_engine, item)`` for every item across the pool;
+        results in item order. Feeding happens from caller threads (one per
+        in-flight item) so a bounded queue still provides backpressure."""
+        import concurrent.futures as fut
+
+        with fut.ThreadPoolExecutor(max_workers=max(1, len(self._workers))) \
+                as feeders:
+            futures = [feeders.submit(self.submit,
+                                      lambda w, it=item: fn(w, it))
+                       for item in items]
+            return [f.result() for f in futures]
+
+    def close(self):
+        self._closing.set()
+        for _ in self._workers:
+            try:
+                self._q.put_nowait(None)
+            except queue.Full:
+                break
+        for t in self._workers:
+            t.join(timeout=5.0)

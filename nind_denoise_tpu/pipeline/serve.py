@@ -11,13 +11,17 @@ stay device-resident, and the persistent compile cache covers restarts.
 Design:
 
 * stdlib ``http.server`` — zero new dependencies.
-* ALL device work runs on ONE dispatcher thread consuming a request queue
-  (HTTP handler threads enqueue and wait). This is correct under the
-  dev tunnel's single-dispatcher discipline (CLAUDE.md transfers rule) and
-  is the sane serialization for a single accelerator in production; batch
-  formation across requests can extend this later.
-* Multi-device hosts serve each request through the row-band sharded
-  engine (parallel/sharded_engine) — same auto-engagement as the CLIs.
+* Single-device hosts: ALL device work runs on ONE dispatcher thread
+  consuming a request queue (HTTP handler threads enqueue and wait). This
+  is correct under the dev tunnel's single-dispatcher discipline
+  (CLAUDE.md transfers rule) and the sane serialization for one
+  accelerator in production.
+* Multi-device hosts pick a parallelism strategy (``--parallel``):
+  - ``shard`` (default): each request row-band sharded across all devices
+    (parallel/sharded_engine) — minimizes single-request latency.
+  - ``images``: one engine replica per device, requests load-balance
+    across them (parallel/engine_pool) — maximizes aggregate throughput
+    under concurrent traffic; each request runs whole on one chip.
 
 Endpoints:
 
@@ -38,7 +42,6 @@ egrun:
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import queue
 import threading
@@ -54,81 +57,112 @@ class ServiceBusy(RuntimeError):
 
 
 class DenoiseService:
-    """Warm engine + single dispatcher thread; thread-safe submit()."""
+    """Warm engine(s) + dispatch; thread-safe submit().
+
+    ``parallel``: 'auto' (shard when >1 device), 'shard' (row-band split
+    every request over all devices), 'images' (request-per-device pool),
+    or 'single' (force one device).
+    """
 
     def __init__(self, network: str, model_path: str, cs=None, ucs=None,
                  activation: str = "PReLU", batch_size: int = 8,
                  compute_dtype: str = "bfloat16", devices=None,
-                 max_pending: int = 8):
+                 max_pending: int = 8, parallel: str = "auto"):
         import jax
 
-        from ..core.tiles import default_cs_ucs
+        from ..engine.tile_engine import AdaptiveEngine
         from ..models import params_io
 
         self.ndev = devices or jax.local_device_count()
         params, state = params_io.load_generator(model_path, network)
         if network == "UNet":
             params = (params, state)
-        if cs is None or ucs is None:
-            cs, ucs = default_cs_ucs(network)
-        self.cs, self.ucs = cs, ucs
         self._network, self._params = network, params
         self._activation, self._batch_size = activation, batch_size
         self._compute_dtype = compute_dtype
-        from ..engine.tile_engine import resolve_apply_fn
-        from ..models import get_network
-
-        self._engines: dict = {}
-        self._check_cs = getattr(get_network(network), "check_cs", None)
-        # resolve the forward ONCE (derives the fastconv kernel tree on
-        # device for UtNet); every per-tile-size engine reuses it
-        self._resolved = resolve_apply_fn(network, params, activation)
-        self._engine_for_cs(cs, ucs)  # warm the default engine eagerly
+        if parallel == "auto":
+            parallel = "shard" if self.ndev > 1 else "single"
+        if parallel != "images" and self.ndev <= 1:
+            parallel = "single"
+        self.mode = parallel
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
-                      "busy_s": 0.0}
+                      "busy_s": 0.0, "per_device": {}}
         self._stats_lock = threading.Lock()
+
+        self._pool = None
+        self._q = None
+        if parallel == "images":
+            from ..parallel.engine_pool import EnginePool
+
+            self._pool = EnginePool(
+                network, params, jax.local_devices()[:self.ndev],
+                cs=cs, ucs=ucs, activation=activation,
+                batch_size=batch_size, compute_dtype=compute_dtype,
+                max_pending=max_pending)
+            self.cs, self.ucs = self._pool.cs, self._pool.ucs
+            return
+
+        if parallel == "shard":
+            from ..core.tiles import default_cs_ucs
+            from ..engine.tile_engine import resolve_apply_fn
+
+            if cs is None or ucs is None:
+                cs, ucs = default_cs_ucs(network)
+            self.cs, self.ucs = cs, ucs
+            from ..models import get_network
+
+            self._check_cs = getattr(get_network(network), "check_cs", None)
+            # resolve the forward ONCE; every per-tile-size sharded
+            # denoiser reuses it
+            self._resolved = resolve_apply_fn(network, params, activation)
+            self._sharded: dict = {}
+            self._sharded_for_cs(self.cs, self.ucs)  # warm eagerly
+            self._tiny = AdaptiveEngine(network, params, cs=cs, ucs=ucs,
+                                        activation=activation,
+                                        batch_size=batch_size,
+                                        compute_dtype=compute_dtype,
+                                        resolved=self._resolved)
+        else:  # single
+            self._adaptive = AdaptiveEngine(network, params, cs=cs, ucs=ucs,
+                                            activation=activation,
+                                            batch_size=batch_size,
+                                            compute_dtype=compute_dtype)
+            self.cs, self.ucs = self._adaptive.cs, self._adaptive.ucs
+            # warm the default-tile engine eagerly
+            self._adaptive._engine_for(self.cs, self.ucs)
+
         # bounded queue = backpressure: each queued job closes over a
         # decoded image, so an unbounded queue lets concurrent uploads pin
         # arbitrary host RAM; beyond the bound submit() raises ServiceBusy
         # (-> HTTP 503) instead of buffering
-        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._q = queue.Queue(maxsize=max_pending)
         self._closing = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def _engine_for_cs(self, cs: int, ucs: int):
-        """Engine (or sharded denoiser) per tile size, cached — small
-        requests get an adapted tiling instead of a TilePlan error."""
+    def _sharded_for_cs(self, cs: int, ucs: int):
+        """Row-band sharded denoiser per tile size, cached — small requests
+        get an adapted tiling instead of a TilePlan error."""
         key = (cs, ucs)
-        if key in self._engines:
-            return self._engines[key]
-        from ..engine.tile_engine import make_engine, make_sharded_denoiser
+        if key in self._sharded:
+            return self._sharded[key]
+        from ..engine.tile_engine import make_sharded_denoiser
 
-        if self.ndev > 1:
-            sharded = make_sharded_denoiser(
-                self._network, None, self.ndev, cs=cs, ucs=ucs,
-                batch_size=self._batch_size,
-                compute_dtype=self._compute_dtype, resolved=self._resolved)
-            # multi-chip hosts have fast PCIe + many cores: host fp32 is fine
-            fn = lambda raw, scale: sharded.denoise_hwc(
-                raw.astype(np.float32) / scale)
-        else:
-            engine = make_engine(self._network, self._params, cs=cs, ucs=ucs,
-                                 activation=self._activation,
-                                 batch_size=self._batch_size,
-                                 compute_dtype=self._compute_dtype,
-                                 resolved=self._resolved)
-            # storage-dtype feed + DEVICE-resident result: the [0,1]
-            # normalization fuses into the tile program, and RL runs
-            # without an intermediate host round-trip (the denoise_cli
-            # fast-path design; measured 0.27 -> 1.67 MP/s steady-state
-            # on the tunnel for a 3 MP request)
-            fn = lambda raw, scale: engine.denoise_raw(
-                raw, scale, out_dtype="device")
-        self._engines[key] = fn
+        sharded = make_sharded_denoiser(
+            self._network, None, self.ndev, cs=cs, ucs=ucs,
+            batch_size=self._batch_size,
+            compute_dtype=self._compute_dtype, resolved=self._resolved)
+        # multi-chip hosts have fast PCIe + many cores: host fp32 is fine
+        fn = lambda raw, scale: sharded.denoise_hwc(
+            raw.astype(np.float32) / scale)
+        self._sharded[key] = fn
         return fn
 
     def _denoise_raw(self, raw: np.ndarray, scale: float):
+        """Dispatcher-thread denoise for the single/shard modes (the pool
+        mode routes through its worker replicas instead)."""
+        if self.mode == "single":
+            return self._adaptive.denoise_raw(raw, scale, out_dtype="device")
         from ..core import tiles as tiles_mod
 
         try:
@@ -138,21 +172,16 @@ class DenoiseService:
         except tiles_mod.TilingError:
             # below the minimum tiling: pad-to-valid single forward
             # (single-device; sharding a tiny request is pointless)
-            if "tiny" not in self._engines:
-                from ..engine.tile_engine import make_engine
-
-                self._engines["tiny"] = make_engine(
-                    self._network, self._params, activation=self._activation,
-                    compute_dtype=self._compute_dtype,
-                    resolved=self._resolved)
-            return self._engines["tiny"].denoise_tiny(raw, scale,
-                                                      out_dtype="device")
-        return self._engine_for_cs(cs, ucs)(raw, scale)
+            return self._tiny.denoise_raw(raw, scale, out_dtype="device")
+        return self._sharded_for_cs(cs, ucs)(raw, scale)
 
     # backwards-compat hook used by tests
     def _denoise01(self, img01: np.ndarray) -> np.ndarray:
-        return np.asarray(self._denoise_raw(
-            np.ascontiguousarray(img01, np.float32), 1.0))
+        raw = np.ascontiguousarray(img01, np.float32)
+        if self.mode == "images":
+            return np.asarray(self._pool.denoise_raw(raw, 1.0,
+                                                     out_dtype="device"))
+        return np.asarray(self._denoise_raw(raw, 1.0))
 
     # -- dispatcher ----------------------------------------------------------
 
@@ -196,9 +225,15 @@ class DenoiseService:
 
     def snapshot_stats(self) -> dict:
         with self._stats_lock:
-            return dict(self.stats)
+            s = dict(self.stats)
+            s["per_device"] = dict(s["per_device"])
+            return s
 
     def close(self):
+        if self._pool is not None:
+            self._pool.close()
+        if self._q is None:
+            return
         # Never block: the queue is bounded, so a wedged dispatcher (long
         # remote compile) plus a full queue would hang a blocking put(None)
         # forever. The flag lets _run exit once the queue drains even when
@@ -223,13 +258,16 @@ class DenoiseService:
         scale = {np.uint8: 255.0, np.uint16: 65535.0}.get(arr.dtype.type, 1.0)
         raw = np.ascontiguousarray(arr[..., ::-1])
 
-        def work():
+        def work(denoise, device=None):
+            """Denoise + on-device RL + quantize + fetch. Runs wholly on
+            the thread that owns the target device (the dispatcher, or a
+            pool worker — then `device` tags the stats)."""
             import jax.numpy as jnp
 
             from ..engine import transfer
 
             t0 = time.perf_counter()
-            out01 = self._denoise_raw(raw, scale)  # device (or host) fp32
+            out01 = denoise(raw, scale)  # device (or host) fp32
             if rl:
                 from ..ops import rl_deblur
 
@@ -244,9 +282,23 @@ class DenoiseService:
             with self._stats_lock:
                 self.stats["busy_s"] += time.perf_counter() - t0
                 self.stats["megapixels"] += raw.shape[0] * raw.shape[1] / 1e6
+                if device is not None:
+                    k = str(device)
+                    self.stats["per_device"][k] = \
+                        self.stats["per_device"].get(k, 0) + 1
             return u8
 
-        u8 = self.submit(work)
+        if self.mode == "images":
+            try:
+                u8 = self._pool.submit(
+                    lambda w: work(
+                        lambda r, s: w.denoise_raw(r, s, out_dtype="device"),
+                        device=w.device),
+                    block=False)
+            except queue.Full:
+                raise ServiceBusy("request queue full") from None
+        else:
+            u8 = self.submit(lambda: work(self._denoise_raw))
         bgr = u8[..., ::-1]
         if output in ("jpg", "jpeg"):
             ok, buf = cv2.imencode(".jpg", bgr,
@@ -281,6 +333,7 @@ def make_handler(svc: DenoiseService):
             path = urllib.parse.urlparse(self.path).path
             if path == "/healthz":
                 self._json(200, {"status": "ok", "devices": svc.ndev,
+                                 "mode": svc.mode,
                                  "cs": svc.cs, "ucs": svc.ucs})
             elif path == "/stats":
                 self._json(200, svc.snapshot_stats())
@@ -350,6 +403,12 @@ def main(argv=None):
     ap.add_argument("--compute_dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--devices", type=int)
+    ap.add_argument("--parallel", default="auto",
+                    choices=["auto", "shard", "images", "single"],
+                    help="multi-device strategy: shard = row-band split "
+                         "each request over all devices (lowest latency); "
+                         "images = request-per-device pool (highest "
+                         "aggregate throughput under concurrent load)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8601)
     ap.add_argument("--max_pending", type=int, default=8,
@@ -360,10 +419,12 @@ def main(argv=None):
                          ucs=args.ucs, activation=args.activation,
                          batch_size=args.batch_size,
                          compute_dtype=args.compute_dtype,
-                         devices=args.devices, max_pending=args.max_pending)
+                         devices=args.devices, max_pending=args.max_pending,
+                         parallel=args.parallel)
     httpd = serve(svc, args.host, args.port)
     print(f"denoise-serve: listening on http://{args.host}:{args.port} "
-          f"({svc.ndev} device(s), cs={svc.cs}/ucs={svc.ucs})")
+          f"({svc.ndev} device(s), mode={svc.mode}, "
+          f"cs={svc.cs}/ucs={svc.ucs})")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

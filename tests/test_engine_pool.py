@@ -1,0 +1,149 @@
+"""Request-level device pool (parallel/engine_pool + engine device pinning).
+
+Runs on the virtual 8-device CPU mesh (conftest). The pool is the third
+multi-device strategy (after row-band sharding and same-shape batching):
+one AdaptiveEngine replica pinned per device, shared work queue. Checks
+here: true concurrency across DISTINCT devices (barrier test — 4 jobs can
+only rendezvous if 4 workers run them simultaneously), bitwise parity of
+every replica against an unpinned single-device engine across mixed
+request shapes (incl. the tiny-image fallback), ordered map, error
+propagation, and queue backpressure.
+"""
+
+import queue
+import threading
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from nind_denoise_tpu.engine.tile_engine import AdaptiveEngine, make_engine
+from nind_denoise_tpu.models.utnet import UtNet
+from nind_denoise_tpu.parallel.engine_pool import EnginePool
+
+pytestmark = pytest.mark.skipif(jax.local_device_count() < 4,
+                                reason="needs >=4 devices")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return UtNet.init(jax.random.PRNGKey(0), funit=8)
+
+
+@pytest.fixture(scope="module")
+def pool(params):
+    p = EnginePool("UtNet", params, jax.local_devices()[:4],
+                   cs=104, ucs=88, compute_dtype="float32")
+    yield p
+    p.close()
+
+
+def test_jobs_run_on_distinct_devices_concurrently(pool):
+    """4 jobs that rendezvous on a Barrier(4) can only all arrive if 4
+    workers execute them at the same time — and each worker owns exactly
+    one device, so the reported devices must be 4 distinct chips. A
+    sequential or device-sharing pool deadlocks the barrier (-> Broken
+    BarrierError, test failure) instead of hanging (timeout below)."""
+    barrier = threading.Barrier(4)
+    devices, lock = [], threading.Lock()
+
+    def job(worker):
+        barrier.wait(timeout=60)
+        with lock:
+            devices.append(worker.device)
+        return worker.device.id
+
+    threads = [threading.Thread(target=pool.submit, args=(job,))
+               for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "pool job never completed"
+    assert len({d.id for d in devices}) == 4
+
+
+def test_pool_matches_single_engine_bitwise(pool, params):
+    """Every replica must produce the single-device engine's exact bytes:
+    same forward, same compiled program, different chip. Mixed request
+    shapes exercise the per-size engine cache and the tiny fallback
+    (24x30 is below the minimum 104/88 tiling)."""
+    ref_adaptive = AdaptiveEngine("UtNet", params, cs=104, ucs=88,
+                                  compute_dtype="float32")
+    rng = np.random.default_rng(7)
+    shapes = [(120, 150), (96, 130), (104, 104), (24, 30)]
+    imgs = [rng.random((h, w, 3), dtype=np.float32) for h, w in shapes]
+
+    got = pool.map(imgs, lambda w, im: (str(w.device),
+                                        w.denoise_raw(im, 1.0,
+                                                      out_dtype="float32")))
+    used = set()
+    for im, (dev, out) in zip(imgs, got):
+        want = ref_adaptive.denoise_raw(im, 1.0, out_dtype="float32")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+        used.add(dev)
+    assert len(used) >= 2, f"map never spread across devices: {used}"
+
+
+def test_map_preserves_item_order(pool):
+    out = pool.map(list(range(10)), lambda w, i: i * i)
+    assert out == [i * i for i in range(10)]
+
+
+def test_error_propagates_to_submitter(pool):
+    with pytest.raises(ValueError, match="boom"):
+        pool.submit(lambda w: (_ for _ in ()).throw(ValueError("boom")))
+    # pool still alive afterwards
+    assert pool.submit(lambda w: 41) == 41
+
+
+def test_nonblocking_submit_backpressure(params):
+    """One worker + max_pending=1: while a job occupies the worker and a
+    second fills the queue, a non-blocking submit must raise queue.Full
+    (pipeline/serve maps this to HTTP 503)."""
+    p = EnginePool("UtNet", params, jax.local_devices()[:1],
+                   cs=104, ucs=88, compute_dtype="float32", max_pending=1)
+    try:
+        started, release = threading.Event(), threading.Event()
+
+        def blocker(worker):
+            started.set()
+            assert release.wait(timeout=60)
+            return "done"
+
+        t1 = threading.Thread(target=p.submit, args=(blocker,))
+        t1.start()
+        assert started.wait(timeout=30)
+        # worker busy; this one parks in the (size-1) queue
+        t2 = threading.Thread(target=p.submit, args=(lambda w: None,))
+        t2.start()
+        deadline = threading.Event()
+        for _ in range(200):  # wait for t2's job to actually occupy the queue
+            if p._q.full():
+                break
+            deadline.wait(0.01)
+        assert p._q.full()
+        with pytest.raises(queue.Full):
+            p.submit(lambda w: None, block=False)
+        release.set()
+        t1.join(timeout=30)
+        t2.join(timeout=30)
+        assert not t1.is_alive() and not t2.is_alive()
+    finally:
+        release.set()
+        p.close()
+
+
+def test_pinned_engine_commits_to_device(params):
+    """The device= pin on make_engine commits params and outputs to that
+    chip (the pool's zero-cross-device-traffic claim, checked directly)."""
+    dev = jax.local_devices()[2]
+    eng = make_engine("UtNet", params, cs=104, ucs=88,
+                      compute_dtype="float32", device=dev)
+    leaf = jax.tree_util.tree_leaves(eng.params)[0]
+    assert leaf.devices() == {dev}
+    out = eng.denoise_raw(
+        np.random.default_rng(0).random((104, 104, 3), dtype=np.float32),
+        1.0, out_dtype="device")
+    assert out.devices() == {dev}

@@ -254,3 +254,83 @@ def test_close_never_blocks_on_full_queue(server):
     t.join(5)
     svc._worker.join(10)  # drains the fillers, sees _closing, exits
     assert not svc._worker.is_alive()
+
+
+# -- request-per-device pool mode (--parallel images) -------------------------
+
+
+@pytest.fixture(scope="module")
+def server_images(tmp_path_factory):
+    """Service in pool mode over 4 of the virtual CPU devices."""
+    d = tmp_path_factory.mktemp("srv_pool")
+    ckpt = str(d / "generator_1.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=8), ckpt)
+    svc = serve_mod.DenoiseService("UtNet", ckpt, cs=104, ucs=88,
+                                   compute_dtype="float32", devices=4,
+                                   parallel="images")
+    httpd = serve_mod.serve(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield svc, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    svc.close()
+
+
+def test_pool_healthz_reports_mode(server_images):
+    svc, base = server_images
+    h = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    assert h["devices"] == 4 and h["mode"] == "images"
+
+
+def test_pool_concurrent_requests_all_succeed_and_match(server_images):
+    """Concurrent mixed-shape requests through the device pool: every
+    response must decode AND bit-match the service's own direct result
+    (request-per-device replicas may not drift from each other)."""
+    svc, base = server_images
+    import cv2
+
+    rng = np.random.default_rng(3)
+    shapes = [(104, 104), (120, 150), (96, 130), (104, 104), (33, 47),
+              (120, 150)]
+    imgs = [rng.integers(0, 65536, s + (3,), dtype=np.uint16)
+            for s in shapes]
+    results = [None] * len(imgs)
+
+    def hit(i):
+        req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                     data=_png_bytes(imgs[i]), method="POST")
+        body = urllib.request.urlopen(req).read()
+        results[i] = cv2.imdecode(np.frombuffer(body, np.uint8),
+                                  cv2.IMREAD_UNCHANGED)[..., ::-1]
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive()
+    for i, img in enumerate(imgs):
+        want_f = svc._denoise01(img.astype(np.float32) / 65535.0)
+        want = np.round(np.clip(want_f, 0, 1) * 255).astype(np.uint8)
+        assert results[i] is not None and results[i].shape == want.shape
+        diff = np.abs(results[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, f"request {i} drifted: max diff {diff.max()}"
+    stats = json.loads(urllib.request.urlopen(base + "/stats").read())
+    assert sum(stats["per_device"].values()) == len(imgs)
+
+
+def test_pool_rl_runs_on_worker_device(server_images):
+    """RL post-op path through the pool (the whole request stays on one
+    chip: denoise -> RL -> quantize -> fetch)."""
+    svc, base = server_images
+    import cv2
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 65536, (104, 120, 3), dtype=np.uint16)
+    req = urllib.request.Request(
+        base + "/denoise?output=png&iterations=2", data=_png_bytes(img),
+        method="POST")
+    out = cv2.imdecode(np.frombuffer(urllib.request.urlopen(req).read(),
+                                     np.uint8), cv2.IMREAD_UNCHANGED)
+    assert out is not None and out.shape == (104, 120, 3)
