@@ -286,10 +286,14 @@ def _initial_outpath(args, input_path: pathlib.Path) -> pathlib.Path:
         else (output_dir / input_path.name).with_suffix(ext)
 
 
-def _collision_resolve(outpath: pathlib.Path) -> pathlib.Path:
-    """_1.._99 collision counter (denoise.py:383-389)."""
+def _collision_resolve(outpath: pathlib.Path,
+                       taken=frozenset()) -> pathlib.Path:
+    """_1.._99 collision counter (denoise.py:383-389). ``taken``: extra
+    paths to treat as existing — reservations made before their files are
+    written (the straggler pool resolves all outpaths up front on the
+    caller thread so concurrent writers cannot race the counter)."""
     i = 1
-    while outpath.exists():
+    while outpath.exists() or outpath in taken:
         outpath = outpath.with_stem(outpath.stem + "_" + str(i))
         i += 1
         if i >= 99:
@@ -461,8 +465,10 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
     params, state = params_io.load_generator(mcfg["path"], network)
     if network == "UNet":
         params = (params, state)
-    apply_fn, params = resolve_apply_fn(network, params,
-                                        mcfg.get("activation", "PReLU"))
+    raw_params = params  # pre-resolve form (the straggler pool re-resolves
+    # per device so each replica's derived kernels colocate with its chip)
+    activation = mcfg.get("activation", "PReLU")
+    apply_fn, params = resolve_apply_fn(network, params, activation)
     mesh = pmesh.make_mesh(ndev, local=True)
 
     sigma = int(args.sigma or 1)
@@ -595,12 +601,56 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
                 write_one(f, outpath, den[j], is_u8=False)
             written.append(outpath)
 
+    def process_stragglers_pool(groups):
+        """Leftover images too few for the image-batcher: instead of the
+        serial row-band pass (whole mesh per image, one image at a time),
+        run them CONCURRENTLY one-per-device through the request pool
+        (parallel/engine_pool) — mixed shapes don't couple, each image
+        runs whole on one chip (denoise -> RL -> quantize -> fetch), and
+        tiny shapes take the pad-to-valid fallback inside the replica."""
+        import jax
+
+        from ..parallel.engine_pool import EnginePool
+
+        items, taken = [], set()
+        for members, scale in groups:
+            for f, raw in members:
+                outpath = _collision_resolve(_initial_outpath(args, f),
+                                             taken=taken)
+                taken.add(outpath)
+                items.append((f, raw, scale, outpath))
+        pool = EnginePool(network, raw_params,
+                          jax.local_devices()[:ndev], cs=cs, ucs=ucs,
+                          activation=activation,
+                          batch_size=args.batch_size,
+                          compute_dtype="bfloat16")
+        try:
+            def one(worker, item):
+                f, raw, scale, outpath = item
+                out01 = worker.denoise_raw(raw, scale, out_dtype="device")
+                if rldeblur:
+                    _rl_array_to_file(out01, outpath, sigma,
+                                      int(iterations), quality,
+                                      verbose=args.verbose,
+                                      impl=args.rl_impl, psf=args.rl_psf)
+                    exif_mod.clone_exif(f, outpath, verbose=args.verbose)
+                else:
+                    write_one(f, outpath, out01, is_u8=False)
+                print(f"\n----------------- {f.name} "
+                      f"(pool: {worker.device}) -----------------\n")
+                return outpath
+            written.extend(pool.map(items, one))
+        finally:
+            pool.close()
+
     # STREAMING decode + group by (shape, dtype): files decode one at a
     # time into per-shape pending lists; a list dispatches the moment it
     # holds a full mesh chunk, so host memory is bounded at ~ndev decoded
     # images per distinct shape (not the whole directory) and one compiled
-    # step serves each shape. Stragglers flush at the end (taking the
-    # row-band path when few).
+    # step serves each shape. Stragglers flush at the end: big leftover
+    # groups keep the image-batcher; the small ones (few images per shape —
+    # previously a serial row-band pass each) pool one-per-device when
+    # there are at least two of them.
     pending: dict = {}
     for f in files:
         raw, scale = imgio.load_img_raw(str(f))
@@ -608,8 +658,16 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
         pending.setdefault(key, []).append((f, raw))
         if len(pending[key]) == ndev:
             process_chunk(pending.pop(key), scale)
+    small, big = [], []
     for (_, _, scale), members in pending.items():
+        (small if len(members) * 2 <= ndev else big).append((members, scale))
+    for members, scale in big:
         process_chunk(members, scale)
+    if ndev > 1 and sum(len(m) for m, _ in small) >= 2:
+        process_stragglers_pool(small)
+    else:
+        for members, scale in small:
+            process_chunk(members, scale)
     return written
 
 

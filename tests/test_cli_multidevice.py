@@ -224,3 +224,43 @@ def test_batch_engine_program_reuse_across_shapes(ckpt):
     assert ya.shape == a.shape and yb.shape == b.shape
     assert np.isfinite(ya).all() and np.isfinite(yb).all()
     assert len(eng._step_cache) == 1, eng._step_cache.keys()
+
+
+def test_denoise_cli_dir_mixed_shapes_pooled(tmp_path, ckpt, capsys):
+    """Directory of mixed-shape stragglers (every shape appears once, so
+    the image-batcher can never fill a chunk): the CLI must route them
+    through the request-per-device pool (parallel/engine_pool) — one image
+    per chip, concurrently — rather than the serial row-band pass, and the
+    outputs must match the single-device run. The 33x47 image is below the
+    minimum tiling and exercises the pool replica's tiny fallback."""
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    rng = np.random.default_rng(9)
+    ind = tmp_path / "in"
+    ind.mkdir()
+    _write_tif16(ind / "a.tif", rng, h=150, w=200)
+    _write_tif16(ind / "b.tif", rng, h=120, w=180)
+    _write_tif16(ind / "c.tif", rng, h=140, w=160)
+    _write_tif16(ind / "tiny.tif", rng, h=33, w=47)
+
+    out_s = tmp_path / "serial"
+    out_p = tmp_path / "pool"
+    out_s.mkdir()
+    out_p.mkdir()
+    common = ["--tiff-input", "-e", "png", "--model_path", ckpt,
+              "--cs", "104", "--ucs", "88", "--iterations", "2"]
+    denoise_cli.main([str(ind), "-o", str(out_s), "--devices", "1"] + common)
+    denoise_cli.main([str(ind), "-o", str(out_p), "--devices", "8"] + common)
+    assert "(pool: " in capsys.readouterr().out  # routing, not a fallback
+
+    import cv2
+
+    names = sorted(p.name for p in out_s.iterdir())
+    assert names == sorted(p.name for p in out_p.iterdir())
+    assert len(names) == 4
+    for n in names:
+        a = cv2.imread(str(out_s / n), cv2.IMREAD_UNCHANGED)
+        b = cv2.imread(str(out_p / n), cv2.IMREAD_UNCHANGED)
+        assert a is not None and a.shape == b.shape
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, (n, diff.max())
