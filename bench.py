@@ -13,7 +13,8 @@ recorded baseline here is the same UtNet(funit=64) forward in torch-CPU on
 this host (median of >= 3 reps, cached in ``bench_baseline.json``). The
 north star (BASELINE.md) asks for >= 10x CPU.
 
-Usage: python bench.py [--quick] [--mode M] [--batch N] [--dtype bfloat16|float32]
+Usage: python bench.py [--quick] [--mode M] [--batch N]
+                       [--dtype bfloat16|float32|int8]
 """
 
 import argparse
@@ -278,9 +279,14 @@ def bench_single_tile(args, cpu_mps):
 
     batch = args.batch if args.batch is not None else 64
     params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
-    derived = jax.jit(UtNet.precompute_fast)(params)
-    fwd = jax.jit(lambda p, x: UtNet.apply_fast(p, x.astype(jnp.bfloat16),
-                                                derived=derived))
+    if args.dtype == "int8":  # quantized engine mode (PERF.md)
+        derived = jax.jit(UtNet.precompute_int8)(params)
+        fwd = jax.jit(lambda p, x: UtNet.apply_int8(
+            p, x.astype(jnp.bfloat16), derived=derived))
+    else:
+        derived = jax.jit(UtNet.precompute_fast)(params)
+        fwd = jax.jit(lambda p, x: UtNet.apply_fast(
+            p, x.astype(jnp.bfloat16), derived=derived))
     x = jnp.asarray(np.random.default_rng(0).random((batch, 504, 504, 3),
                                                     dtype=np.float32))
     np.asarray(fwd(params, x).ravel()[0])
@@ -492,9 +498,23 @@ def bench_serve(args, cpu_mps, n_requests: int = 3):
             "vs_baseline": round(mps / measure_cpu_pipeline_mps(args.funit), 2)}
 
 
+def bench_single_tile_int8(args, cpu_mps):
+    """single_tile with the opt-in int8 quantized forward (ops/qconv.py);
+    same geometry/accounting so the ratio to single_tile is the int8
+    speedup. vs_baseline stays against the same torch-CPU fp32 number."""
+    import copy
+
+    a = copy.copy(args)
+    a.dtype = "int8"
+    res = bench_single_tile(a, cpu_mps)
+    res["metric"] = "single_tile_int8"
+    return res
+
+
 MODES = {
     "tiled": bench_tiled,
     "single_tile": lambda a, c, quick=False: bench_single_tile(a, c),
+    "single_tile_int8": lambda a, c, quick=False: bench_single_tile_int8(a, c),
     "rl": lambda a, c, quick=False: bench_rl(a, c),
     "pipeline": lambda a, c, quick=False: bench_pipeline(a, c),
     "nightmode_batch": lambda a, c, quick=False: bench_nightmode_batch(a, c),

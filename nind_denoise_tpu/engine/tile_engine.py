@@ -78,7 +78,10 @@ class TileEngine:
         self.size_check = size_check  # arch size validator (denoise_tiny)
         self.pad = (cs - ucs) // 2
         self.batch_size = batch_size
-        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        # 'int8' quantizes inside the forward (ops/qconv.py); the tile
+        # I/O boundary (normalization, feather masks, canvas) stays bf16
+        self.compute_dtype = (jnp.float32 if compute_dtype == "float32"
+                              else jnp.bfloat16)
         self.precision = precision
         self.max_subpixels = max_subpixels
         self.debug_dir = debug_dir  # dump noisy/denoised tiles per row (slow)
@@ -443,11 +446,17 @@ class TileEngine:
         return np.asarray(y).astype(out_dtype)  # fp formats: unclipped
 
 
-def resolve_apply_fn(network: str, params, activation: str = "PReLU"):
+def resolve_apply_fn(network: str, params, activation: str = "PReLU",
+                     compute_dtype: str = "bfloat16"):
     """(apply_fn, params) for an inference engine — shared by the
     single-chip TileEngine, the row-band ShardedTileDenoiser, and the
     image-per-device DeviceBatchDenoiser so all product surfaces run the
     same forward.
+
+    ``compute_dtype='int8'`` (UtNet only) selects the quantized forward
+    (UtNet.apply_int8 / ops/qconv.py): interior convs run int8 on the MXU
+    at ~2x the bf16 rate; quantization noise is pinned by
+    tests/test_qconv.py and the mode is opt-in from the CLIs.
 
     NOTE the same params-immutability invariant as TileEngine: for UtNet the
     derived fast-forward kernels are pre-composed from ``params`` here and
@@ -455,7 +464,13 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU"):
     from ..models import get_network
 
     net = get_network(network)
-    if network == "UtNet":
+    if compute_dtype == "int8" and network != "UtNet":
+        raise ValueError("compute_dtype='int8' is only supported for UtNet")
+    if network == "UtNet" and compute_dtype == "int8":
+        derived = jax.jit(net.precompute_int8)(params)
+        apply_fn = lambda p, x: net.apply_int8(p, x, activation=activation,
+                                               derived=derived)
+    elif network == "UtNet":
         # MXU-shaped exact rewrite (composed up-convs + width-folded L1,
         # ops/fastconv.py): +~50% single-chip throughput, parity-tested in
         # tests/test_utnet_fast.py. Kernels are pre-composed once here and
@@ -515,7 +530,8 @@ def make_sharded_denoiser(network: str, params, ndev: int,
 
     cs, ucs, _ = _resolve_tiles(network, cs, ucs)
     apply_fn, params = (resolved if resolved is not None
-                        else resolve_apply_fn(network, params, activation))
+                        else resolve_apply_fn(network, params, activation,
+                                              compute_dtype=compute_dtype))
     if precision == "float32":
         base_fn = apply_fn
 
@@ -541,7 +557,10 @@ def make_engine(network: str, params, cs: Optional[int] = None,
     building several engines (per tile size) from one checkpoint."""
     cs, ucs, check = _resolve_tiles(network, cs, ucs)
     apply_fn, params = (resolved if resolved is not None
-                        else resolve_apply_fn(network, params, activation))
+                        else resolve_apply_fn(
+                            network, params, activation,
+                            compute_dtype=kwargs.get("compute_dtype",
+                                                     "bfloat16")))
     return TileEngine(apply_fn, params, cs, ucs, size_check=check, **kwargs)
 
 
@@ -585,8 +604,9 @@ class AdaptiveEngine:
                 params = jax.device_put(params, device)
                 resolved = None
             self._resolved = (resolved if resolved is not None
-                              else resolve_apply_fn(network, params,
-                                                    activation))
+                              else resolve_apply_fn(
+                                  network, params, activation,
+                                  compute_dtype=compute_dtype))
         self._engines: Dict = {}
 
     def _placement(self):

@@ -172,6 +172,123 @@ class UtNet:
         t = C.conv2d(t, p4["c2"]["w"], p4["c2"]["b"], "VALID")
         return C.crop2(t, 2)
 
+    # -- int8 quantized forward (inference only; see ops/qconv.py) -------------
+
+    @staticmethod
+    def precompute_int8(params: Params) -> Params:
+        """Derive the quantized kernel tree for ``apply_int8`` once (engine
+        build time): every heavy MXU conv gets per-output-channel int8
+        weights + scales (ops/qconv.quant_kernel); the quality-sensitive
+        ends of the network — the width-folded encoder level 1 (also
+        bandwidth- not MXU-bound, PERF.md) and the final 1x1 to RGB — keep
+        their bf16 fast-path kernels."""
+        from ..ops import qconv as Q
+
+        fast = UtNet.precompute_fast(params)
+        d: Params = {"enc1_c0": fast["enc1_c0"], "enc1_c1": fast["enc1_c1"],
+                     "final": fast["final"], "w3a4": fast["w3a4"]}
+        qk = lambda w: dict(zip(("w", "s"), Q.quant_kernel(w)))
+        for lvl in range(3):
+            d[f"K{lvl}q"] = qk(fast[f"K{lvl}"])
+        d["K3fq"] = qk(fast["K3f"])
+        d["w3b4q"] = qk(fast["w3b4"])
+        d["dec4_c1q"] = qk(fast["dec4_c1"])
+        for name in ("convs2", "convs3", "convs4", "bottom"):
+            for ck in ("c0", "c1"):
+                d[f"{name}_{ck}q"] = qk(params[name][ck]["w"])
+        for lvl, (up, tc) in enumerate((("up1", "tconvs1"), ("up2", "tconvs2"),
+                                        ("up3", "tconvs3"))):
+            cmid = params[up]["w"].shape[1] // 4
+            d[f"skip{lvl}q"] = qk(params[tc]["c0"]["w"][:, :, cmid:])
+            d[f"dec{lvl}_c1q"] = qk(params[tc]["c1"]["w"])
+        return d
+
+    @staticmethod
+    def apply_int8(params: Params, x: jnp.ndarray, activation: str = "PReLU",
+                   derived: Optional[Params] = None) -> jnp.ndarray:
+        """int8-quantized variant of ``apply_fast``: the same composed/folded
+        graph, with every interior conv running int8 x int8 -> int32 on the
+        MXU (~2x the bf16 rate on v5e, half the activation HBM bytes) and
+        per-sample dynamic activation scales. NOT numerically exact —
+        quantization noise is pinned by tests/test_qconv.py (PSNR floor vs
+        the fp32 forward) and the mode is opt-in (``compute_dtype='int8'``).
+        Falls back to ``apply`` on odd sizes like ``apply_fast``."""
+        from ..ops import qconv as Q
+
+        n, H, W, _ = x.shape
+        if W % 2 or H % 2:
+            return UtNet.apply(params, x, activation)
+        if derived is None:
+            derived = UtNet.precompute_int8(params)
+        act = lambda t, p: C.apply_activation(t, activation, p.get("a"))
+        f32 = jnp.float32
+        qc = lambda t, key, b, pad, **kw: Q.qconv(
+            t, derived[key]["w"], derived[key]["s"], b, pad, **kw)
+        qr = lambda t, key, pad, **kw: Q.qconv_raw(
+            t, derived[key]["w"], derived[key]["s"], pad, **kw)
+
+        # encoder level 1: bf16 fast path unchanged (bandwidth-bound +
+        # first-layer quality; see precompute_int8)
+        xf = F.fold_w(C.reflect_pad(x, 2))
+        wb1 = xf.shape[2]
+        p = params["convs1"]["c0"]
+        t = F.folded_conv3(xf, derived["enc1_c0"], p["b"], (0, 0))
+        t = act(t, p) * F.col_mask(wb1, t.shape[3], 1, W + 3, t.dtype)
+        p = params["convs1"]["c1"]
+        t = F.folded_conv3(t, derived["enc1_c1"], p["b"], (0, 0))
+        l1f = act(t, p) * F.col_mask(wb1, t.shape[3], 2, W + 2, t.dtype)
+        fu = l1f.shape[3] // 2
+        pooled = jnp.maximum(l1f[..., :fu], l1f[..., fu:])
+        pooled = pooled.reshape(n, H // 2, 2, wb1, fu).max(axis=2)
+        l2_in = pooled[:, :, 1:1 + W // 2, :]
+
+        def double_q(name, t):
+            p0, p1 = params[name]["c0"], params[name]["c1"]
+            t = act(qc(t, f"{name}_c0q", p0["b"], "VALID"), p0)
+            t = act(qc(t, f"{name}_c1q", p1["b"], "VALID"), p1)
+            return t
+
+        l2 = double_q("convs2", l2_in)
+        l3 = double_q("convs3", C.maxpool2x(l2))
+        l4 = double_q("convs4", C.maxpool2x(l3))
+        b_ = params["bottom"]
+        t = act(qc(C.maxpool2x(l4), "bottom_c0q", b_["c0"]["b"], "VALID"),
+                b_["c0"])
+        t = act(qc(t, "bottom_c1q", b_["c1"]["b"], "FULL"), b_["c1"])
+
+        # decoder levels 1-3: composed up+conv, both branches int8
+        for lvl, (skip, up, tc) in enumerate(((l4, "up1", "tconvs1"),
+                                              (l3, "up2", "tconvs2"),
+                                              (l2, "up3", "tconvs3"))):
+            up_p, tc_p = params[up], params[tc]
+            cmid = up_p["w"].shape[1] // 4
+            w3 = tc_p["c0"]["w"]
+            zA = qr(t, f"K{lvl}q", ((3, 3), (3, 3)), lhs_dilation=(2, 2))
+            zB = qr(skip, f"skip{lvl}q", "FULL")
+            bmap = F.up_bias_map(skip.shape[1], skip.shape[2], up_p["b"],
+                                 w3[:, :, :cmid], f32)
+            y = (zA + zB + bmap + tc_p["c0"]["b"].astype(f32)).astype(t.dtype)
+            y = act(y, tc_p["c0"])
+            t = act(qc(y, f"dec{lvl}_c1q", tc_p["c1"]["b"], "FULL"), tc_p["c1"])
+
+        # decoder level 4 + final 1x1, width-folded (final stays bf16)
+        up4, tc4 = params["up4"], params["tconvs4"]
+        cmid = up4["w"].shape[1] // 4
+        zA = qr(t, "K3fq", ((3, 3), (2, 2)), lhs_dilation=(2, 1))
+        zB = qr(l1f, "w3b4q", ((2, 2), (1, 1)))
+        planef = (F.col_mask(wb1, 2 * cmid, 2, W + 2, f32)
+                  * jnp.tile(up4["b"], 2).astype(f32))
+        bmapf = F.folded_conv3(jnp.broadcast_to(planef, (1, H, wb1, 2 * cmid)),
+                               derived["w3a4"], None, (2, 2)).astype(f32)
+        y = (zA + zB + bmapf
+             + jnp.tile(tc4["c0"]["b"], 2).astype(f32)).astype(t.dtype)
+        y = act(y, tc4["c0"]) * F.col_mask(wb1, y.shape[3], 1, W + 3, y.dtype)
+        y = qc(y, "dec4_c1q", tc4["c1"]["b"], ((2, 2), (1, 1)), tile_bias=True)
+        y = act(y, tc4["c1"])
+        y = F.folded_conv1x1(y, derived["final"], tc4["c2"]["b"])
+        y = y[:, 2:2 + H, 1:1 + W // 2, :]
+        return F.unfold_w(y)
+
     # -- MXU-shaped fast forward (exact rewrite; see ops/fastconv.py) ----------
 
     @staticmethod

@@ -1,0 +1,121 @@
+"""int8 quantized convolution primitives for the inference fast path.
+
+The v5e MXU runs int8xint8->int32 at ~2x its bf16 rate (measured on the
+target chip: 437 TOP/s vs 207 TF/s matmul chains, 294 vs 122 on 3x3 conv
+chains — see PERF.md "int8 engine mode"), and int8 activations halve the
+HBM bytes of every conv input. This module provides the three pieces the
+quantized UtNet forward (models/utnet.UtNet.apply_int8) composes:
+
+* ``quant_kernel``  — per-output-channel symmetric weight quantization,
+  done ONCE at engine build (models/utnet.UtNet.precompute_int8).
+* ``quant_act``     — dynamic per-sample symmetric activation quantization
+  (a max-reduce + round per conv input; per-SAMPLE, not per-tensor, so the
+  engine's zero-weight dummy tiles and heterogeneous tile content cannot
+  couple scales across the batch).
+* ``qconv``         — int8 conv with int32 accumulation and a fused
+  dequant epilogue ``y = conv_i32 * (s_act * s_out) + b``.
+
+Scheme notes. Symmetric (zero-point-free) quantization keeps the conv a
+plain integer dot — no zero-point correction terms — at the cost of one
+wasted code (-128). int32 accumulators cannot overflow for any layer in
+this codebase: the worst case (16*funit input channels, 4x4 composed
+kernel) is 1024*16*127*127 = 2.6e8 << 2^31. Quality is a measured
+property, not a promise: tests/test_qconv.py pins the int8-vs-fp32 PSNR
+floor, and the engine only uses this path for the opt-in
+``compute_dtype='int8'``.
+
+This is an inference-only path (no custom VJPs); training stays bf16/fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = 1e-12
+
+
+def quant_kernel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HWIO (or any (..., cout)) kernel -> (int8 kernel, (cout,) f32 scales).
+
+    Per-output-channel symmetric: s_o = max|w[..., o]| / 127, so each
+    output channel uses the full int8 range regardless of the others'
+    magnitudes (per-tensor weight scales measurably hurt the first/last
+    decoder levels, whose channel norms span ~2 orders of magnitude)."""
+    w = w.astype(jnp.float32)
+    axes = tuple(range(w.ndim - 1))
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=axes), _EPS) / 127.0
+    wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return wq, s
+
+
+def quant_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, H, W, C) activations -> (int8, (N,1,1,1) f32 per-sample scales)."""
+    m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
+    s = jnp.maximum(m, _EPS) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                  ).astype(jnp.int8)
+    return xq, s
+
+
+def quant_act_static(x: jnp.ndarray, s: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize with a pre-calibrated scalar scale (UtNet.calibrate_int8).
+
+    Unlike ``quant_act`` this needs no max-reduce over ``x``, so XLA fuses
+    the round/clip/cast into the PRODUCER's epilogue — the activation
+    writes int8 directly (1 byte) instead of bf16 (2), and the quantized
+    path carries strictly less HBM traffic than bf16 (PERF.md "int8
+    engine mode"). Values beyond the calibrated range saturate at +-127
+    (bounded, graceful; quality floors in tests/test_qconv.py)."""
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                  ).astype(jnp.int8)
+    return xq, s
+
+
+def qconv(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
+          b: Optional[jnp.ndarray] = None,
+          padding="VALID",
+          lhs_dilation: Optional[Tuple[int, int]] = None,
+          tile_bias: bool = False,
+          sx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Quantized NHWC conv: quantize ``x`` (dynamically, or with the
+    pre-calibrated static scale ``sx``), integer conv against the
+    pre-quantized kernel ``(wq, sw)``, dequant + bias in f32, return in
+    ``x.dtype``. ``padding``: 'VALID'/'SAME'/'FULL' or explicit pairs;
+    ``tile_bias`` doubles the bias vector for width-folded layers (the
+    folded channel layout v*C+c of ops/fastconv.py)."""
+    if padding == "FULL":
+        kh, kw = wq.shape[0], wq.shape[1]
+        padding = ((kh - 1, kh - 1), (kw - 1, kw - 1))
+    xq, sx = quant_act(x) if sx is None else quant_act_static(x, sx)
+    dn = lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+    y32 = lax.conv_general_dilated(
+        xq, wq, window_strides=(1, 1), padding=padding,
+        lhs_dilation=lhs_dilation, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    y = y32.astype(jnp.float32) * (sx * sw.astype(jnp.float32))
+    if b is not None:
+        bb = jnp.tile(b, 2) if tile_bias else b
+        y = y + bb.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def qconv_raw(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
+              padding, lhs_dilation: Optional[Tuple[int, int]] = None,
+              sx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Like ``qconv`` but returns the dequantized f32 tensor WITHOUT bias
+    or output cast — for callers summing several conv branches in f32
+    before one shared bias/activation (the composed decoder levels)."""
+    if padding == "FULL":
+        kh, kw = wq.shape[0], wq.shape[1]
+        padding = ((kh - 1, kh - 1), (kw - 1, kw - 1))
+    xq, sx = quant_act(x) if sx is None else quant_act_static(x, sx)
+    dn = lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+    y32 = lax.conv_general_dilated(
+        xq, wq, window_strides=(1, 1), padding=padding,
+        lhs_dilation=lhs_dilation, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    return y32.astype(jnp.float32) * (sx * sw.astype(jnp.float32))

@@ -57,7 +57,9 @@ class DeviceBatchDenoiser:
         self.cs, self.ucs, self.ol = cs, ucs, ol
         self.pad = (cs - ucs) // 2
         self.tpd = tiles_per_dispatch
-        self.cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        # int8 quantizes inside the forward; the band/canvas boundary stays bf16
+        self.cdt = (jnp.float32 if compute_dtype == "float32"
+                    else jnp.bfloat16)
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
         self.axis = axis
         self.ndev = self.mesh.devices.size

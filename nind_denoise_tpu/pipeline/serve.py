@@ -114,7 +114,8 @@ class DenoiseService:
             self._check_cs = getattr(get_network(network), "check_cs", None)
             # resolve the forward ONCE; every per-tile-size sharded
             # denoiser reuses it
-            self._resolved = resolve_apply_fn(network, params, activation)
+            self._resolved = resolve_apply_fn(network, params, activation,
+                                              compute_dtype=compute_dtype)
             self._sharded: dict = {}
             self._sharded_for_cs(self.cs, self.ucs)  # warm eagerly
             self._tiny = AdaptiveEngine(network, params, cs=cs, ucs=ucs,
@@ -401,7 +402,9 @@ def main(argv=None):
     ap.add_argument("--activation", default="PReLU")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--compute_dtype", default="bfloat16",
-                    choices=["bfloat16", "float32"])
+                    choices=["bfloat16", "float32", "int8"],
+                    help="int8 (UtNet only): quantized MXU forward, ~2x "
+                         "bf16 rate (PERF.md 'int8 engine mode')")
     ap.add_argument("--devices", type=int)
     ap.add_argument("--parallel", default="auto",
                     choices=["auto", "shard", "images", "single"],

@@ -1,0 +1,177 @@
+"""int8 quantized inference path (ops/qconv.py + UtNet.apply_int8).
+
+Quality here is a *measured property pinned by floors*, not an exactness
+claim: the int8 mode is opt-in (``compute_dtype='int8'``) and trades a
+bounded PSNR cost for ~2x MXU rate + half the activation HBM bytes
+(PERF.md "int8 engine mode"). The floors are set ~10 dB below measured
+values so only a real regression trips them.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import lax
+
+from nind_denoise_tpu.models.utnet import UtNet
+from nind_denoise_tpu.ops import qconv as Q
+
+
+def _psnr(a, b, peak=1.0):
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    return 10 * np.log10(peak ** 2 / max((d ** 2).mean(), 1e-20))
+
+
+def test_quant_kernel_roundtrip_bound():
+    """Per-output-channel symmetric: |w - wq*s| <= s/2 elementwise, and each
+    channel's scale is exactly max|w[..., o]| / 127."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)).astype(np.float32)
+                    * rng.lognormal(0, 2, size=(1, 1, 1, 8)).astype(np.float32))
+    wq, s = Q.quant_kernel(w)
+    assert wq.dtype == jnp.int8 and s.shape == (8,)
+    np.testing.assert_allclose(
+        np.asarray(s), np.abs(np.asarray(w)).max(axis=(0, 1, 2)) / 127.0,
+        rtol=1e-6)
+    err = np.abs(np.asarray(w) - np.asarray(wq, np.float32) * np.asarray(s))
+    assert (err <= np.asarray(s) / 2 + 1e-7).all()
+
+
+def test_quant_act_per_sample_independence():
+    """Scales are per-SAMPLE: the engine pads batches with zero-weight dummy
+    tiles, so one sample's content must not couple another's scale. A zero
+    sample must also be safe (eps floor, no NaN/inf)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 8, 8, 4)).astype(np.float32)
+    x[2] = 0.0
+    xq, s = Q.quant_act(jnp.asarray(x))
+    assert s.shape == (3, 1, 1, 1)
+    x2 = x.copy()
+    x2[1] *= 100.0  # blowing up sample 1 must not move sample 0's codes
+    xq2, s2 = Q.quant_act(jnp.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(xq[0]), np.asarray(xq2[0]))
+    assert np.isfinite(np.asarray(xq, np.float32)).all()
+    assert (np.asarray(xq[2]) == 0).all()
+
+
+def test_qconv_matches_f32_conv_within_quant_noise():
+    """qconv vs the dense f32 conv it approximates: relative error bounded
+    by the two rounding steps (~1% for well-conditioned random tensors)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 24)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(24).astype(np.float32))
+    wq, s = Q.quant_kernel(w)
+    got = np.asarray(Q.qconv(x, wq, s, b, "VALID"))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=dn) + b)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+
+
+def test_qconv_full_padding_and_dilation():
+    """'FULL' padding and lhs_dilation (the composed decoder up-convs) must
+    route through the integer conv identically to the f32 oracle."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 7, 9, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 4, 8, 8)).astype(np.float32))
+    wq, s = Q.quant_kernel(w)
+    got = np.asarray(Q.qconv_raw(x, wq, s, "FULL", lhs_dilation=(2, 2)))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(lax.conv_general_dilated(
+        x, w, (1, 1), ((3, 3), (3, 3)), lhs_dilation=(2, 2),
+        dimension_numbers=dn))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+
+
+def test_apply_int8_psnr_floor():
+    """The full quantized forward vs the fp32 reference forward. Measured
+    68.1 dB (fp32 I/O) / 61.6 dB (bf16 I/O, the engine's boundary) on this
+    fixture; floors at 58/52 so only a real regression trips."""
+    params = UtNet.init(jax.random.PRNGKey(3), funit=8)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 136, 136, 3),
+                                                    dtype=np.float32))
+    ref = np.asarray(UtNet.apply(params, x))
+    q = np.asarray(UtNet.apply_int8(params, x))
+    assert q.shape == ref.shape
+    assert _psnr(q, ref) >= 58.0
+    qb = np.asarray(UtNet.apply_int8(params, x.astype(jnp.bfloat16))
+                    ).astype(np.float32)
+    assert _psnr(qb, ref) >= 52.0
+
+
+def test_apply_int8_precomputed_derived_and_jit():
+    """Engine usage: derived tree precomputed once (precompute_int8), the
+    forward jitted with it closed over as constants."""
+    params = UtNet.init(jax.random.PRNGKey(1), funit=8)
+    derived = jax.jit(UtNet.precompute_int8)(params)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 104, 104, 3),
+                                                    dtype=np.float32))
+    ref = np.asarray(UtNet.apply(params, x))
+    fn = jax.jit(lambda p, t: UtNet.apply_int8(p, t, derived=derived))
+    out = np.asarray(fn(params, x))
+    assert _psnr(out, ref) >= 55.0
+
+
+def test_apply_int8_odd_size_falls_back(monkeypatch):
+    """Odd sizes dispatch to ``apply`` (same defensive contract as
+    apply_fast — no engine-legal tile size is odd, see
+    test_utnet_fast.test_every_valid_size_takes_the_fast_path)."""
+    params = UtNet.init(jax.random.PRNGKey(2), funit=8)
+    x = jnp.zeros((1, 137, 137, 3), jnp.float32)
+    sentinel = object()
+    monkeypatch.setattr(UtNet, "apply",
+                        staticmethod(lambda p, t, a="PReLU": sentinel))
+    assert UtNet.apply_int8(params, x) is sentinel
+
+
+def test_engine_int8_mode():
+    """make_engine(compute_dtype='int8') end-to-end vs the fp32 engine on a
+    real tiled denoise (uint16 raw in, fp32 out). Measured ~52 dB on this
+    fixture; floor 45 dB — well above perceptual relevance for an opt-in
+    speed mode, well below measured."""
+    from nind_denoise_tpu.engine.tile_engine import make_engine
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 65536, (200, 260, 3), dtype=np.uint16)
+    params = UtNet.init(jax.random.PRNGKey(0), funit=8)
+    ref_eng = make_engine("UtNet", params, cs=104, ucs=88, batch_size=4,
+                          compute_dtype="float32", precision="float32")
+    ref = ref_eng.denoise_raw(img, 65535.0, out_dtype="float32")
+    q_eng = make_engine("UtNet", params, cs=104, ucs=88, batch_size=4,
+                        compute_dtype="int8")
+    out = q_eng.denoise_raw(img, 65535.0, out_dtype="float32")
+    assert _psnr(out, ref) >= 45.0, _psnr(out, ref)
+
+
+@pytest.mark.slow
+def test_sharded_engine_int8_mode():
+    """The multi-device product path (--devices N --compute_dtype int8):
+    make_sharded_denoiser with int8 over the 8-device CPU mesh vs the fp32
+    single-device engine — same floor as the single-device int8 test (the
+    row-band split must not change the quantized forward's quality)."""
+    from nind_denoise_tpu.engine.tile_engine import (make_engine,
+                                                     make_sharded_denoiser)
+
+    rng = np.random.default_rng(3)
+    img = rng.random((200, 260, 3), dtype=np.float32)
+    params = UtNet.init(jax.random.PRNGKey(0), funit=8)
+    ref = make_engine("UtNet", params, cs=104, ucs=88, batch_size=4,
+                      compute_dtype="float32", precision="float32"
+                      ).denoise_hwc(img)
+    sharded = make_sharded_denoiser("UtNet", params, ndev=8, cs=104, ucs=88,
+                                    batch_size=8, compute_dtype="int8")
+    out = sharded.denoise_hwc(img)
+    assert _psnr(out, ref) >= 45.0, _psnr(out, ref)
+
+
+def test_resolve_int8_rejects_non_utnet():
+    from nind_denoise_tpu.engine.tile_engine import resolve_apply_fn
+    from nind_denoise_tpu.models.unet import UNet
+
+    params = UNet.init(jax.random.PRNGKey(0), funit=4)
+    with pytest.raises(ValueError, match="int8"):
+        resolve_apply_fn("UNet", params, compute_dtype="int8")
