@@ -279,8 +279,12 @@ def bench_single_tile(args, cpu_mps):
 
     batch = args.batch if args.batch is not None else 64
     params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
-    if args.dtype == "int8":  # quantized engine mode (PERF.md)
+    if args.dtype.startswith("int8"):  # quantized engine mode (PERF.md)
+        from nind_denoise_tpu.ops.qconv import calib_tiles
+
         derived = jax.jit(UtNet.precompute_int8)(params)
+        if args.dtype == "int8_static":
+            derived = UtNet.calibrate_int8(params, derived, calib_tiles())
         fwd = jax.jit(lambda p, x: UtNet.apply_int8(
             p, x.astype(jnp.bfloat16), derived=derived))
     else:
@@ -499,13 +503,15 @@ def bench_serve(args, cpu_mps, n_requests: int = 3):
 
 
 def bench_single_tile_int8(args, cpu_mps):
-    """single_tile with the opt-in int8 quantized forward (ops/qconv.py);
-    same geometry/accounting so the ratio to single_tile is the int8
-    speedup. vs_baseline stays against the same torch-CPU fp32 number."""
+    """single_tile with the opt-in int8 quantized forward (ops/qconv.py) in
+    its fast variant (static calibrated scales — int8_static); same
+    geometry/accounting so the ratio to single_tile is the int8 speedup.
+    vs_baseline stays against the same torch-CPU fp32 number. Dynamic-scale
+    int8 is available via --mode single_tile --dtype int8."""
     import copy
 
     a = copy.copy(args)
-    a.dtype = "int8"
+    a.dtype = "int8_static"
     res = bench_single_tile(a, cpu_mps)
     res["metric"] = "single_tile_int8"
     return res

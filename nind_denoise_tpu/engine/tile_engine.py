@@ -457,6 +457,10 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU",
     (UtNet.apply_int8 / ops/qconv.py): interior convs run int8 on the MXU
     at ~2x the bf16 rate; quantization noise is pinned by
     tests/test_qconv.py and the mode is opt-in from the CLIs.
+    ``'int8_static'`` additionally bakes static activation scales
+    calibrated here on the synthetic extremal set (qconv.calib_tiles) —
+    the quantizes fuse into producer epilogues, which is where the int8
+    speed actually comes from (PERF.md "int8 engine mode").
 
     NOTE the same params-immutability invariant as TileEngine: for UtNet the
     derived fast-forward kernels are pre-composed from ``params`` here and
@@ -464,10 +468,16 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU",
     from ..models import get_network
 
     net = get_network(network)
-    if compute_dtype == "int8" and network != "UtNet":
-        raise ValueError("compute_dtype='int8' is only supported for UtNet")
-    if network == "UtNet" and compute_dtype == "int8":
+    if compute_dtype.startswith("int8") and network != "UtNet":
+        raise ValueError(f"compute_dtype={compute_dtype!r} is only "
+                         "supported for UtNet")
+    if network == "UtNet" and compute_dtype.startswith("int8"):
         derived = jax.jit(net.precompute_int8)(params)
+        if compute_dtype == "int8_static":
+            from ..ops.qconv import calib_tiles
+
+            derived = net.calibrate_int8(params, derived, calib_tiles(),
+                                         activation=activation)
         apply_fn = lambda p, x: net.apply_int8(p, x, activation=activation,
                                                derived=derived)
     elif network == "UtNet":

@@ -204,15 +204,42 @@ class UtNet:
         return d
 
     @staticmethod
+    def calibrate_int8(params: Params, derived: Params, calib: jnp.ndarray,
+                       activation: str = "PReLU",
+                       headroom: float = 1.3) -> Params:
+        """Derive STATIC activation scales for ``apply_int8`` from a
+        calibration batch (one observed forward): scale_site =
+        max|input_site| over the batch * headroom / 127. With static
+        scales the quantize needs no max-reduce, so XLA fuses it into the
+        producer's epilogue and the int8 path carries strictly less HBM
+        traffic than bf16 (PERF.md "int8 engine mode"). Out-of-range
+        values saturate at +-127 — ``headroom`` buys margin for content
+        hotter than the calibration set (the engine's default set is the
+        synthetic extremal tiles of ops/qconv.calib_tiles)."""
+        import jax as _jax
+
+        fn = _jax.jit(lambda p, xb: UtNet.apply_int8(
+            p, xb, activation, derived=derived, observe=True))
+        _, rec = fn(params, calib)
+        d = dict(derived)
+        d["acts"] = {k: (v.astype(jnp.float32) * headroom + 1e-12) / 127.0
+                     for k, v in rec.items()}
+        return d
+
+    @staticmethod
     def apply_int8(params: Params, x: jnp.ndarray, activation: str = "PReLU",
-                   derived: Optional[Params] = None) -> jnp.ndarray:
+                   derived: Optional[Params] = None, observe: bool = False):
         """int8-quantized variant of ``apply_fast``: the same composed/folded
         graph, with every interior conv running int8 x int8 -> int32 on the
-        MXU (~2x the bf16 rate on v5e, half the activation HBM bytes) and
-        per-sample dynamic activation scales. NOT numerically exact —
-        quantization noise is pinned by tests/test_qconv.py (PSNR floor vs
-        the fp32 forward) and the mode is opt-in (``compute_dtype='int8'``).
-        Falls back to ``apply`` on odd sizes like ``apply_fast``."""
+        MXU (~2x the bf16 rate on v5e, half the activation HBM bytes).
+        Activation scales are dynamic per-sample by default, or static when
+        ``derived`` carries calibrated scales (``calibrate_int8`` — the
+        fast mode: quantizes fuse into producer epilogues). NOT numerically
+        exact — quantization noise is pinned by tests/test_qconv.py (PSNR
+        floor vs the fp32 forward) and the mode is opt-in
+        (``compute_dtype='int8'`` / ``'int8_static'``).
+        Falls back to ``apply`` on odd sizes like ``apply_fast``.
+        ``observe=True`` (calibration) returns ``(y, {site: max|input|})``."""
         from ..ops import qconv as Q
 
         n, H, W, _ = x.shape
@@ -220,12 +247,24 @@ class UtNet:
             return UtNet.apply(params, x, activation)
         if derived is None:
             derived = UtNet.precompute_int8(params)
+        acts = derived.get("acts")
+        rec: Optional[dict] = {} if observe else None
         act = lambda t, p: C.apply_activation(t, activation, p.get("a"))
         f32 = jnp.float32
-        qc = lambda t, key, b, pad, **kw: Q.qconv(
-            t, derived[key]["w"], derived[key]["s"], b, pad, **kw)
-        qr = lambda t, key, pad, **kw: Q.qconv_raw(
-            t, derived[key]["w"], derived[key]["s"], pad, **kw)
+
+        def qc(t, key, b, pad, **kw):
+            if rec is not None:
+                rec[key] = jnp.max(jnp.abs(t.astype(f32)))
+            sx = None if acts is None else acts[key]
+            return Q.qconv(t, derived[key]["w"], derived[key]["s"], b, pad,
+                           sx=sx, **kw)
+
+        def qr(t, key, pad, **kw):
+            if rec is not None:
+                rec[key] = jnp.max(jnp.abs(t.astype(f32)))
+            sx = None if acts is None else acts[key]
+            return Q.qconv_raw(t, derived[key]["w"], derived[key]["s"], pad,
+                               sx=sx, **kw)
 
         # encoder level 1: bf16 fast path unchanged (bandwidth-bound +
         # first-layer quality; see precompute_int8)
@@ -287,7 +326,8 @@ class UtNet:
         y = act(y, tc4["c1"])
         y = F.folded_conv1x1(y, derived["final"], tc4["c2"]["b"])
         y = y[:, 2:2 + H, 1:1 + W // 2, :]
-        return F.unfold_w(y)
+        y = F.unfold_w(y)
+        return (y, rec) if observe else y
 
     # -- MXU-shaped fast forward (exact rewrite; see ops/fastconv.py) ----------
 

@@ -75,6 +75,38 @@ def quant_act_static(x: jnp.ndarray, s: jnp.ndarray
     return xq, s
 
 
+def calib_tiles(size: int = 136, seed: int = 0):
+    """Deterministic synthetic calibration batch for static activation
+    scales (UtNet.calibrate_int8) when no real data is at hand (engine
+    build time): extremal inputs for a conv net over [0,1] images —
+    flat fields at 0/0.5/1 (maximize low-frequency responses: the sum of
+    a kernel's positive taps), H/V gradients, a 1-px checkerboard
+    (maximizes high-frequency taps), uniform noise, and noise+gradient
+    (natural-image-ish). Deeper layers' extrema are not guaranteed by
+    first-layer extrema — `calibrate_int8`'s headroom plus the clip's
+    graceful saturation cover the residual, and quality floors in
+    tests/test_qconv.py are the regression net."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    g = np.linspace(0.0, 1.0, size, dtype=np.float32)
+    hgrad = np.broadcast_to(g[None, :, None], (size, size, 3))
+    vgrad = np.broadcast_to(g[:, None, None], (size, size, 3))
+    ii, jj = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    checker = np.broadcast_to((((ii + jj) % 2).astype(np.float32))[..., None],
+                              (size, size, 3))
+    noise = rng.random((size, size, 3), dtype=np.float32)
+    tiles = np.stack([
+        np.zeros((size, size, 3), np.float32),
+        np.full((size, size, 3), 0.5, np.float32),
+        np.ones((size, size, 3), np.float32),
+        hgrad, vgrad, checker, noise,
+        np.clip(0.75 * vgrad + 0.25 * rng.random(
+            (size, size, 3), dtype=np.float32), 0.0, 1.0),
+    ])
+    return jnp.asarray(tiles)
+
+
 def qconv(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
           b: Optional[jnp.ndarray] = None,
           padding="VALID",

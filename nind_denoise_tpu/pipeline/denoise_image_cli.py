@@ -86,10 +86,12 @@ def build_parser():
     p.add_argument("--pad", type=int)
     p.add_argument("--models_dpath")
     p.add_argument("--compute_dtype", default="bfloat16",
-                   choices=["bfloat16", "float32", "int8"],
-                   help="int8 (UtNet only): quantized forward on the MXU at "
-                        "~2x the bf16 rate; bounded quality cost pinned by "
-                        "tests/test_qconv.py (see PERF.md 'int8 engine mode')")
+                   choices=["bfloat16", "float32", "int8", "int8_static"],
+                   help="int8/int8_static (UtNet only): quantized forward on "
+                        "the MXU; int8_static bakes calibrated activation "
+                        "scales (the fast variant). Bounded quality cost "
+                        "pinned by tests/test_qconv.py (see PERF.md 'int8 "
+                        "engine mode')")
     p.add_argument("--precision", default="default", choices=["default", "float32"])
     p.add_argument("--trace_dir", help="capture a jax.profiler trace here")
     p.add_argument("-q", "--quality", type=int, default=95,

@@ -402,9 +402,10 @@ def main(argv=None):
     ap.add_argument("--activation", default="PReLU")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--compute_dtype", default="bfloat16",
-                    choices=["bfloat16", "float32", "int8"],
-                    help="int8 (UtNet only): quantized MXU forward, ~2x "
-                         "bf16 rate (PERF.md 'int8 engine mode')")
+                    choices=["bfloat16", "float32", "int8", "int8_static"],
+                    help="int8/int8_static (UtNet only): quantized MXU "
+                         "forward; int8_static = calibrated static scales, "
+                         "the fast variant (PERF.md 'int8 engine mode')")
     ap.add_argument("--devices", type=int)
     ap.add_argument("--parallel", default="auto",
                     choices=["auto", "shard", "images", "single"],

@@ -116,6 +116,61 @@ def test_apply_int8_precomputed_derived_and_jit():
     assert _psnr(out, ref) >= 55.0
 
 
+def test_apply_int8_static_scales():
+    """Calibrated static scales (the fast variant, compute_dtype=
+    'int8_static'): measured 64.3 dB fp32-I/O / 60.0 dB bf16-I/O on this
+    fixture (~1.5-4 dB under dynamic); floors 10 dB below measured."""
+    from nind_denoise_tpu.ops.qconv import calib_tiles
+
+    params = UtNet.init(jax.random.PRNGKey(3), funit=8)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 136, 136, 3),
+                                                    dtype=np.float32))
+    ref = np.asarray(UtNet.apply(params, x))
+    derived = jax.jit(UtNet.precompute_int8)(params)
+    d_stat = UtNet.calibrate_int8(params, derived, calib_tiles())
+    assert "acts" in d_stat and len(d_stat["acts"]) >= 14
+    q = np.asarray(UtNet.apply_int8(params, x, derived=d_stat))
+    assert _psnr(q, ref) >= 54.0, _psnr(q, ref)
+    qb = np.asarray(UtNet.apply_int8(params, x.astype(jnp.bfloat16),
+                                     derived=d_stat)).astype(np.float32)
+    assert _psnr(qb, ref) >= 50.0, _psnr(qb, ref)
+
+
+def test_apply_int8_static_miscalibration_saturates_gracefully():
+    """Content hotter than the calibration set must SATURATE (bounded
+    error), never wrap/NaN: calibrate on 4x-dimmed tiles, run full-range.
+    Measured 33.1 dB on this fixture — degraded but graceful; the floor
+    pins the no-NaN/no-wrap contract, not quality."""
+    from nind_denoise_tpu.ops.qconv import calib_tiles
+
+    params = UtNet.init(jax.random.PRNGKey(3), funit=8)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 136, 136, 3),
+                                                    dtype=np.float32))
+    ref = np.asarray(UtNet.apply(params, x))
+    derived = jax.jit(UtNet.precompute_int8)(params)
+    d_dim = UtNet.calibrate_int8(params, derived, calib_tiles() * 0.25)
+    q = np.asarray(UtNet.apply_int8(params, x, derived=d_dim))
+    assert np.isfinite(q).all()
+    assert _psnr(q, ref) >= 20.0, _psnr(q, ref)
+
+
+def test_engine_int8_static_mode():
+    """make_engine(compute_dtype='int8_static') end-to-end (the product
+    path resolve_apply_fn calibrates on the synthetic extremal set)."""
+    from nind_denoise_tpu.engine.tile_engine import make_engine
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 65536, (200, 260, 3), dtype=np.uint16)
+    params = UtNet.init(jax.random.PRNGKey(0), funit=8)
+    ref = make_engine("UtNet", params, cs=104, ucs=88, batch_size=4,
+                      compute_dtype="float32", precision="float32"
+                      ).denoise_raw(img, 65535.0, out_dtype="float32")
+    out = make_engine("UtNet", params, cs=104, ucs=88, batch_size=4,
+                      compute_dtype="int8_static"
+                      ).denoise_raw(img, 65535.0, out_dtype="float32")
+    assert _psnr(out, ref) >= 42.0, _psnr(out, ref)
+
+
 def test_apply_int8_odd_size_falls_back(monkeypatch):
     """Odd sizes dispatch to ``apply`` (same defensive contract as
     apply_fast — no engine-legal tile size is odd, see
