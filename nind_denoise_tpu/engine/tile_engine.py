@@ -447,7 +447,7 @@ class TileEngine:
 
 
 def resolve_apply_fn(network: str, params, activation: str = "PReLU",
-                     compute_dtype: str = "bfloat16"):
+                     compute_dtype: str = "bfloat16", calib=None):
     """(apply_fn, params) for an inference engine — shared by the
     single-chip TileEngine, the row-band ShardedTileDenoiser, and the
     image-per-device DeviceBatchDenoiser so all product surfaces run the
@@ -458,9 +458,12 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU",
     at ~2x the bf16 rate; quantization noise is pinned by
     tests/test_qconv.py and the mode is opt-in from the CLIs.
     ``'int8_static'`` additionally bakes static activation scales
-    calibrated here on the synthetic extremal set (qconv.calib_tiles) —
-    the quantizes fuse into producer epilogues, which is where the int8
-    speed actually comes from (PERF.md "int8 engine mode").
+    calibrated here — on ``calib`` (an (N, s, s, 3) [0,1] batch; the
+    image CLI passes crops of the actual input, qconv.calib_from_image)
+    or, absent one, the synthetic extremal set (qconv.calib_tiles).
+    With static scales the quantizes fuse into producer epilogues,
+    which is where the int8 speed actually comes from (PERF.md "int8
+    engine mode").
 
     NOTE the same params-immutability invariant as TileEngine: for UtNet the
     derived fast-forward kernels are pre-composed from ``params`` here and
@@ -474,12 +477,24 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU",
     if network == "UtNet" and compute_dtype.startswith("int8"):
         derived = jax.jit(net.precompute_int8)(params)
         if compute_dtype == "int8_static":
-            from ..ops.qconv import calib_tiles
+            if calib is None:
+                from ..ops.qconv import calib_tiles
 
-            derived = net.calibrate_int8(params, derived, calib_tiles(),
-                                         activation=activation)
-        apply_fn = lambda p, x: net.apply_int8(p, x, activation=activation,
-                                               derived=derived)
+                calib = calib_tiles()
+            d_cal = net.calibrate_int8(params, derived, calib,
+                                       activation=activation)
+            acts = d_cal.pop("acts")
+            # the calibrated scales ride INSIDE the params pytree as traced
+            # leaves (not closure constants): per-image calibration
+            # (calib_from_image) must not change the HLO, or every image
+            # would recompile the tile programs (30s-15min on the tunnel)
+            params = {"params": params, "acts": acts}
+            apply_fn = lambda pb, x: net.apply_int8(
+                pb["params"], x, activation=activation,
+                derived={**d_cal, "acts": pb["acts"]})
+        else:
+            apply_fn = lambda p, x: net.apply_int8(
+                p, x, activation=activation, derived=derived)
     elif network == "UtNet":
         # MXU-shaped exact rewrite (composed up-convs + width-folded L1,
         # ops/fastconv.py): +~50% single-chip throughput, parity-tested in

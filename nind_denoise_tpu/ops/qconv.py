@@ -107,6 +107,35 @@ def calib_tiles(size: int = 136, seed: int = 0):
     return jnp.asarray(tiles)
 
 
+def calib_from_image(img01, size: int = 136):
+    """Calibration batch drawn from the ACTUAL image being denoised
+    (denoise_image_cli does this for ``--compute_dtype int8_static``):
+    the four corner crops, the center crop, and the crop centered on the
+    brightest pixel (so the first-layer extremes of THIS image are in
+    range; deeper-layer residual is covered by calibrate_int8's
+    headroom). Content-matched scales digitize the image's real dynamic
+    range — synthetic extremal tiles overestimate scales on dim content
+    and waste int8 codes (tests/test_qconv.py measures the win).
+
+    ``img01``: (H, W, 3) float array in [0, 1]; reflect-padded up to
+    ``size`` when smaller. Returns (6, size, size, 3) f32."""
+    import numpy as np
+
+    img01 = np.asarray(img01, np.float32)
+    h, w = img01.shape[:2]
+    if h < size or w < size:
+        img01 = np.pad(img01, ((0, max(0, size - h)), (0, max(0, size - w)),
+                               (0, 0)), mode="reflect")
+        h, w = img01.shape[:2]
+    ys = [0, h - size, 0, h - size, (h - size) // 2]
+    xs = [0, 0, w - size, w - size, (w - size) // 2]
+    iy, ix = np.unravel_index(np.argmax(img01.sum(axis=2)), (h, w))
+    ys.append(int(np.clip(iy - size // 2, 0, h - size)))
+    xs.append(int(np.clip(ix - size // 2, 0, w - size)))
+    crops = [img01[y:y + size, x:x + size] for y, x in zip(ys, xs)]
+    return jnp.asarray(np.stack(crops))
+
+
 def qconv(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
           b: Optional[jnp.ndarray] = None,
           padding="VALID",

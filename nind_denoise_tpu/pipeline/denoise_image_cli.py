@@ -143,11 +143,22 @@ def _run_sharded(args, ndev: int) -> None:
         params = (params, state)
     img = imgio.load_img(args.input)  # (3, H, W) fp32 [0,1]
     cs, ucs = _adapt_tiles(args, img.shape[1], img.shape[2])
+    resolved = None
+    if args.compute_dtype == "int8_static":
+        # calibrate the static scales on the actual input (see
+        # calib_resolved in run())
+        from ..engine.tile_engine import resolve_apply_fn
+        from ..ops.qconv import calib_from_image
+
+        resolved = resolve_apply_fn(args.g_network, params, activation,
+                                    compute_dtype="int8_static",
+                                    calib=calib_from_image(
+                                        img.transpose(1, 2, 0)))
     sharded = make_sharded_denoiser(
         args.g_network, params, ndev, cs=cs, ucs=ucs, activation=activation,
         ol=args.overlap, batch_size=args.batch_size,
         compute_dtype=args.compute_dtype, precision=args.precision,
-        max_subpixels=args.max_subpixels)
+        max_subpixels=args.max_subpixels, resolved=resolved)
     out = sharded.denoise_hwc(np.ascontiguousarray(img.transpose(1, 2, 0)))
     _save_float_hwc(out, args.output, quality=args.quality)
     print(f"Denoised image written to {args.output} "
@@ -259,19 +270,35 @@ def run(args) -> str:
     if args.g_network == "UNet":
         params = (params, state)
 
-    def build_engine(cs, ucs):
+    def build_engine(cs, ucs, resolved=None):
         return make_engine(args.g_network, params, cs=cs, ucs=ucs,
                            activation=activation, ol=args.overlap,
                            batch_size=args.batch_size,
                            compute_dtype=args.compute_dtype,
                            precision=args.precision,
                            max_subpixels=args.max_subpixels,
-                           debug_dir="dbg" if args.debug else None)
+                           debug_dir="dbg" if args.debug else None,
+                           resolved=resolved)
+
+    def calib_resolved(img01_hwc):
+        """int8_static: calibrate the static scales on crops of the ACTUAL
+        input (qconv.calib_from_image) instead of the synthetic extremal
+        set — content-matched scales digitize the image's real dynamic
+        range (the win is measured in tests/test_qconv.py)."""
+        if args.compute_dtype != "int8_static":
+            return None
+        from ..engine.tile_engine import resolve_apply_fn
+        from ..ops.qconv import calib_from_image
+
+        return resolve_apply_fn(args.g_network, params, activation,
+                                compute_dtype="int8_static",
+                                calib=calib_from_image(img01_hwc))
 
     start_time = time.time()
     if args.whole_image:
-        engine = build_engine(args.cs, args.ucs)
         img = imgio.load_img(args.input)
+        engine = build_engine(args.cs, args.ucs,
+                              resolved=calib_resolved(img.transpose(1, 2, 0)))
         out_chw = engine.denoise_whole(img, pad=args.pad or 0)
         imgio.save_img(out_chw, args.output)
     else:
@@ -280,16 +307,17 @@ def run(args) -> str:
         # divide + transpose, and uint16 uploads are exact vs the f32->f16
         # wire cast)
         raw, scale = imgio.load_img_raw(args.input)
+        resolved = calib_resolved(raw.astype(np.float32) / scale)
         try:
             cs, ucs = _adapt_tiles(args, raw.shape[0], raw.shape[1])
-            engine = build_engine(cs, ucs)
+            engine = build_engine(cs, ucs, resolved=resolved)
             den = lambda dt: engine.denoise_raw(raw, scale, out_dtype=dt)
         except TilingError:
             # below the minimum tiling (the reference aborts here):
             # pad-to-valid single forward, crop (TileEngine.denoise_tiny)
             print(f"Image {raw.shape[1]}x{raw.shape[0]} below the minimum "
                   f"tiling; denoising as one padded forward")
-            engine = build_engine(args.cs, args.ucs)
+            engine = build_engine(args.cs, args.ucs, resolved=resolved)
             den = lambda dt: engine.denoise_tiny(raw, scale, out_dtype=dt)
         ext = os.path.splitext(args.output)[1].lower()
         # quantize on device to minimize the downlink (engine docstring)
