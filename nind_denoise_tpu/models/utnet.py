@@ -218,6 +218,12 @@ class UtNet:
         synthetic extremal tiles of ops/qconv.calib_tiles)."""
         import jax as _jax
 
+        h, w = int(calib.shape[1]), int(calib.shape[2])
+        if h % 2 or w % 2:
+            raise ValueError(
+                f"calibrate_int8 needs an even-sized calibration batch (got "
+                f"{h}x{w}): apply_int8 falls back to the exact forward on odd "
+                f"sizes and cannot observe activation scales there")
         fn = _jax.jit(lambda p, xb: UtNet.apply_int8(
             p, xb, activation, derived=derived, observe=True))
         _, rec = fn(params, calib)

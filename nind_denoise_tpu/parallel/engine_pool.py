@@ -110,7 +110,14 @@ class EnginePool:
             self._q.put((fn, done))
         else:
             self._q.put_nowait((fn, done))
-        done["event"].wait()
+        # liveness loop, not a bare wait: a close() racing this submit can
+        # retire every worker between the flag check above and the put, and
+        # the job would then sit on a consumerless queue forever
+        while not done["event"].wait(timeout=0.25):
+            if self._closing.is_set() and \
+                    not any(t.is_alive() for t in self._workers):
+                raise RuntimeError("EnginePool closed while the job was "
+                                   "pending")
         if "error" in done:
             raise done["error"]
         return done["result"]
@@ -143,3 +150,14 @@ class EnginePool:
                 break
         for t in self._workers:
             t.join(timeout=5.0)
+        # release waiters whose jobs the retired workers will never run
+        # (submit's liveness loop also catches these; this is the fast path)
+        while True:
+            try:
+                job = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if job is not None:
+                job[1]["error"] = RuntimeError(
+                    "EnginePool closed before the job ran")
+                job[1]["event"].set()

@@ -179,6 +179,13 @@ def _run_whole_spatial(args, ndev: int) -> None:
     from ..parallel import mesh as pmesh
     from ..parallel.spatial import SpatialShardedForward
 
+    if args.compute_dtype.startswith("int8"):
+        # the spatially-sharded forward runs the exact apply; silently
+        # downgrading an explicit int8 opt-in would misreport the mode
+        raise SystemExit(
+            "--whole_image over >1 device does not support --compute_dtype "
+            "int8/int8_static; drop --whole_image (the tiled path supports "
+            "it) or use --compute_dtype bfloat16/float32")
     params, state, activation = load_generator_params(args)
     if args.g_network == "UNet":
         params = (params, state)
@@ -280,11 +287,15 @@ def run(args) -> str:
                            debug_dir="dbg" if args.debug else None,
                            resolved=resolved)
 
-    def calib_resolved(img01_hwc):
+    def calib_resolved(get_img01_hwc):
         """int8_static: calibrate the static scales on crops of the ACTUAL
         input (qconv.calib_from_image) instead of the synthetic extremal
         set — content-matched scales digitize the image's real dynamic
-        range (the win is measured in tests/test_qconv.py)."""
+        range (the win is measured in tests/test_qconv.py).
+
+        ``get_img01_hwc`` is a THUNK so the default (non-int8) path never
+        pays the full-image host fp32 normalize the raw-dtype feed exists
+        to skip."""
         if args.compute_dtype != "int8_static":
             return None
         from ..engine.tile_engine import resolve_apply_fn
@@ -292,13 +303,14 @@ def run(args) -> str:
 
         return resolve_apply_fn(args.g_network, params, activation,
                                 compute_dtype="int8_static",
-                                calib=calib_from_image(img01_hwc))
+                                calib=calib_from_image(get_img01_hwc()))
 
     start_time = time.time()
     if args.whole_image:
         img = imgio.load_img(args.input)
-        engine = build_engine(args.cs, args.ucs,
-                              resolved=calib_resolved(img.transpose(1, 2, 0)))
+        engine = build_engine(
+            args.cs, args.ucs,
+            resolved=calib_resolved(lambda: img.transpose(1, 2, 0)))
         out_chw = engine.denoise_whole(img, pad=args.pad or 0)
         imgio.save_img(out_chw, args.output)
     else:
@@ -307,7 +319,7 @@ def run(args) -> str:
         # divide + transpose, and uint16 uploads are exact vs the f32->f16
         # wire cast)
         raw, scale = imgio.load_img_raw(args.input)
-        resolved = calib_resolved(raw.astype(np.float32) / scale)
+        resolved = calib_resolved(lambda: raw.astype(np.float32) / scale)
         try:
             cs, ucs = _adapt_tiles(args, raw.shape[0], raw.shape[1])
             engine = build_engine(cs, ucs, resolved=resolved)

@@ -209,13 +209,20 @@ class DenoiseService:
                 done["event"].set()
 
     def submit(self, fn):
+        if self._closing.is_set():
+            raise ServiceBusy("service is shutting down")
         done = {"event": threading.Event()}
         try:
             self._q.put_nowait((fn, done))
         except queue.Full:
             raise ServiceBusy(
                 f"request queue full ({self._q.maxsize} pending)") from None
-        done["event"].wait()
+        # liveness loop, not a bare wait: close() racing this submit can
+        # retire the dispatcher between the flag check and the put, leaving
+        # the job on a consumerless queue and this request hung forever
+        while not done["event"].wait(timeout=0.5):
+            if self._closing.is_set() and not self._worker.is_alive():
+                raise ServiceBusy("service closed before the request ran")
         if "error" in done:
             raise done["error"]
         return done["result"]

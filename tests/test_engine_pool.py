@@ -147,3 +147,50 @@ def test_pinned_engine_commits_to_device(params):
         np.random.default_rng(0).random((104, 104, 3), dtype=np.float32),
         1.0, out_dtype="device")
     assert out.devices() == {dev}
+
+
+def test_submit_after_close_raises_not_hangs(params):
+    """A submit racing close() must error out, never hang: once the flag
+    check in submit() has passed, close() can retire every worker before
+    the job is enqueued. Simulated deterministically by clearing the flag
+    on an already-retired pool (the submitter's view during the race
+    window), submitting, then restoring the flag."""
+    p = EnginePool("UtNet", params, jax.local_devices()[:2],
+                   cs=104, ucs=88, compute_dtype="float32")
+    p.close()  # workers retired
+    p._closing.clear()  # the race window: submitter sees flag unset
+    err = []
+
+    def racer():
+        try:
+            p.submit(lambda w: "never")
+        except RuntimeError as e:
+            err.append(e)
+
+    t = threading.Thread(target=racer)
+    t.start()
+    while p._q.empty() and t.is_alive():
+        pass  # job reaches the consumerless queue
+    p._closing.set()  # close() completes from the submitter's view
+    t.join(timeout=10)
+    assert not t.is_alive(), "submit hung on a consumerless queue"
+    assert err and "closed" in str(err[0])
+    # and the public path errors eagerly once the flag is visible
+    with pytest.raises(RuntimeError, match="closed"):
+        p.submit(lambda w: w)
+
+
+def test_close_releases_pending_waiters(params):
+    """Jobs sitting on the queue after the workers have retired must have
+    their waiters released with an error by close()'s drain (not left
+    blocked forever). close() is idempotent, so the drain can be driven
+    deterministically: retire the pool, plant a job on the consumerless
+    queue, close again."""
+    p = EnginePool("UtNet", params, jax.local_devices()[:2],
+                   cs=104, ucs=88, compute_dtype="float32")
+    p.close()
+    done = {"event": threading.Event()}
+    p._q.put((lambda w: "never", done))
+    p.close()  # drain pass
+    assert done["event"].is_set()
+    assert isinstance(done.get("error"), RuntimeError)

@@ -288,3 +288,14 @@ def test_resolve_int8_rejects_non_utnet():
     params = UNet.init(jax.random.PRNGKey(0), funit=4)
     with pytest.raises(ValueError, match="int8"):
         resolve_apply_fn("UNet", params, compute_dtype="int8")
+
+
+def test_calibrate_int8_rejects_odd_calibration_sizes():
+    """apply_int8 falls back to the exact forward on odd sizes and cannot
+    observe activation scales there — calibrate_int8 must fail loudly on
+    an odd calibration batch instead of unpacking garbage."""
+    params = UtNet.init(jax.random.PRNGKey(0), funit=8)
+    derived = jax.jit(UtNet.precompute_int8)(params)
+    calib = jnp.zeros((2, 135, 135, 3), jnp.float32)
+    with pytest.raises(ValueError, match="even-sized"):
+        UtNet.calibrate_int8(params, derived, calib)

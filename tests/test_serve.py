@@ -334,3 +334,36 @@ def test_pool_rl_runs_on_worker_device(server_images):
     out = cv2.imdecode(np.frombuffer(urllib.request.urlopen(req).read(),
                                      np.uint8), cv2.IMREAD_UNCHANGED)
     assert out is not None and out.shape == (104, 120, 3)
+
+
+def test_submit_after_close_raises_not_hangs(tmp_path_factory):
+    """Same shutdown race as EnginePool: a request thread whose submit()
+    passed the flag check while close() retired the dispatcher must get
+    ServiceBusy from the liveness loop, never hang on its event."""
+    d = tmp_path_factory.mktemp("srv_close")
+    ckpt = str(d / "generator_1.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=4), ckpt)
+    svc = serve_mod.DenoiseService("UtNet", ckpt, cs=104, ucs=88,
+                                   compute_dtype="float32", devices=1)
+    svc.close()
+    assert not svc._worker.is_alive() or svc._worker.join(5) is None
+    svc._closing.clear()  # the race window: submitter sees flag unset
+    err = []
+
+    def racer():
+        try:
+            svc.submit(lambda: "never")
+        except serve_mod.ServiceBusy as e:
+            err.append(e)
+
+    t = threading.Thread(target=racer)
+    t.start()
+    while svc._q.empty() and t.is_alive():
+        pass
+    svc._closing.set()
+    t.join(timeout=10)
+    assert not t.is_alive(), "submit hung on a consumerless queue"
+    assert err and "closed" in str(err[0])
+    # eager rejection once the flag is visible
+    with pytest.raises(serve_mod.ServiceBusy, match="shutting down"):
+        svc.submit(lambda: None)

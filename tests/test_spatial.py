@@ -145,3 +145,26 @@ def test_set_params_propagates_state(setup):
     fwd.set_params({"p": params, "offset": jnp.float32(1.0)})
     y1 = np.asarray(fwd(img))
     np.testing.assert_allclose(y1 - y0, 1.0, atol=1e-5)
+
+
+def test_whole_image_cli_rejects_int8_over_mesh(tmp_path):
+    """--whole_image over >1 device runs the exact spatial forward; an
+    explicit --compute_dtype int8* opt-in must be rejected loudly, not
+    silently downgraded to bf16 (round-3 review finding)."""
+    import cv2
+
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.pipeline import denoise_image_cli as dic
+
+    rng = np.random.default_rng(3)
+    pin = str(tmp_path / "in.png")
+    cv2.imwrite(pin, rng.integers(0, 65536, (136, 104, 3),
+                                  dtype=np.uint16)[..., ::-1])
+    ckpt = str(tmp_path / "g_1.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=8), ckpt)
+    ns = dic.build_parser().parse_known_args_layered(
+        ["-i", pin, "-o", str(tmp_path / "o.tiff"), "--model_path", ckpt,
+         "--network", "UtNet", "--whole_image", "--devices", "8",
+         "--compute_dtype", "int8_static", "--exif_method", "noexif"])[0]
+    with pytest.raises(SystemExit, match="int8"):
+        dic.run(ns)
