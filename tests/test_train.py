@@ -406,3 +406,58 @@ def test_graceful_shutdown_signal_protocol():
     t.join()
     assert signal.getsignal(signal.SIGTERM) == prev_term  # untouched
     gs2.restore()
+
+
+@pytest.mark.slow  # ~1 min of CPU optimization on the 1-core host
+def test_training_actually_learns_to_denoise():
+    """End-to-end LEARNING evidence (not just mechanics): a tiny UtNet
+    trained with the product train step on synthetic clean/noisy pairs
+    must beat the identity baseline on HELD-OUT data — PSNR(denoised,
+    clean) > PSNR(noisy, clean) + 2 dB — and the loss must drop
+    substantially. Guards the whole chain (fast forward, MSE loss, Adam
+    amsgrad, gradient flow) against silent learning-breaking regressions
+    that shape/finite checks cannot catch."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from nind_denoise_tpu.models.utnet import UtNet
+    from nind_denoise_tpu.train import steps
+
+    rng = np.random.default_rng(0)
+
+    def make_pair(n):
+        # piecewise-smooth "photo-like" content: blurred uniform noise,
+        # normalized to [0.1, 0.9] so noise never clips
+        clean = gaussian_filter(
+            rng.random((n, 104, 104, 3), dtype=np.float32), (0, 3, 3, 0))
+        lo, hi = clean.min(), clean.max()
+        clean = 0.1 + 0.8 * (clean - lo) / (hi - lo)
+        noisy = clean + rng.normal(0, 0.15, clean.shape).astype(np.float32)
+        return clean.astype(np.float32), noisy.astype(np.float32)
+
+    params = UtNet.init(jax.random.PRNGKey(0), funit=4)
+    optimizer = steps.make_optimizer(lr=3e-3, beta1=0.9, amsgrad=True)
+    state = steps.TrainState(params, optimizer.init(params))
+    step = steps.make_generator_train_step(
+        lambda p, x: UtNet.apply_fast(p, x), optimizer,
+        weights={"MSE": 1.0}, loss_cs=96)
+
+    losses = []
+    for i in range(160):
+        clean, noisy = make_pair(4)
+        state, metrics = step(state, jnp.asarray(clean), jnp.asarray(noisy))
+        losses.append(float(metrics["weighted"]))
+    assert losses[-1] < 0.2 * losses[0], (losses[0], losses[-1])
+
+    # held-out evaluation (fresh draw, never trained on)
+    clean, noisy = make_pair(4)
+    den = np.asarray(UtNet.apply_fast(state.params, jnp.asarray(noisy)))
+
+    def psnr(a, b):
+        return 10 * np.log10(1.0 / max(float(((a - b) ** 2).mean()), 1e-12))
+
+    p_noisy = psnr(noisy, clean)   # identity baseline ~16.5 dB at sigma .15
+    p_den = psnr(np.clip(den, 0, 1), clean)
+    # measured on this recipe: p_den ~21.7 (+5.1 dB); assert a 3 dB margin
+    assert p_den > p_noisy + 3.0, (p_den, p_noisy)
