@@ -433,15 +433,36 @@ def main(argv=None):
                          devices=args.devices, max_pending=args.max_pending,
                          parallel=args.parallel)
     httpd = serve(svc, args.host, args.port)
-    print(f"denoise-serve: listening on http://{args.host}:{args.port} "
+    # report the BOUND port (--port 0 = ephemeral, used by tests/orchestrators)
+    print(f"denoise-serve: listening on "
+          f"http://{args.host}:{httpd.server_address[1]} "
           f"({svc.ndev} device(s), mode={svc.mode}, "
-          f"cs={svc.cs}/ucs={svc.ucs})")
+          f"cs={svc.cs}/ucs={svc.ucs})", flush=True)
+
+    # SIGTERM = the orchestrator stop signal (k8s/systemd): stop accepting,
+    # drain in-flight requests, exit 0. shutdown() must run off the serving
+    # thread (it blocks until serve_forever returns), and server_close()
+    # joins the in-flight handler threads (ThreadingHTTPServer
+    # block_on_close) before the service retires its dispatcher.
+    import signal
+
+    def _term(signum, frame):
+        print("denoise-serve: SIGTERM — draining in-flight requests",
+              flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass  # non-main thread (embedded use): caller owns signal handling
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        httpd.server_close()
         svc.close()
+    print("denoise-serve: shut down cleanly", flush=True)
 
 
 if __name__ == "__main__":

@@ -367,3 +367,42 @@ def test_submit_after_close_raises_not_hangs(tmp_path_factory):
     # eager rejection once the flag is visible
     with pytest.raises(serve_mod.ServiceBusy, match="shutting down"):
         svc.submit(lambda: None)
+
+
+@pytest.mark.slow  # subprocess pays its own jax import + engine build
+def test_sigterm_drains_and_exits_cleanly(tmp_path):
+    """The daemon must treat SIGTERM as graceful stop (the k8s/systemd stop
+    signal): stop accepting, drain, close the service, exit 0 — and with
+    --port 0 it must report the BOUND port so orchestrators can probe it."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ckpt = str(tmp_path / "generator_1.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=4), ckpt)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "nind_denoise_tpu.pipeline.serve",
+         "--model_path", ckpt, "--network", "UtNet", "--cs", "104",
+         "--ucs", "88", "--devices", "1", "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+    try:
+        line = ""
+        deadline = time.time() + 240
+        while "listening on" not in line:
+            assert time.time() < deadline, "server never came up"
+            line = p.stdout.readline()
+        port = int(re.search(r"http://[^:]+:(\d+)", line).group(1))
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        p.send_signal(signal.SIGTERM)
+        out = p.communicate(timeout=60)[0]
+        assert p.returncode == 0, (p.returncode, out)
+        assert "draining" in out and "shut down cleanly" in out, out
+    finally:
+        if p.poll() is None:
+            p.kill()
