@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model registry key (pipeline/operations.yaml)")
     p.add_argument("--model_path", help="Override generator checkpoint path")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "int8", "int8_static"],
+                   help="engine compute dtype (int8/int8_static: UtNet-only "
+                        "quantized MXU forward, PERF.md 'int8 engine mode'; "
+                        "the serial per-file path calibrates int8_static on "
+                        "the actual image, directory batches use the "
+                        "data-independent synthetic set)")
     p.add_argument("--cs", type=int, help="Override tile size")
     p.add_argument("--ucs", type=int, help="Override useful tile size")
     p.add_argument("--devices", type=int,
@@ -122,13 +129,15 @@ def resolve_model(args, config) -> dict:
 
 
 def _run_denoiser(mcfg: dict, in_fpath: pathlib.Path, out_fpath: pathlib.Path,
-                  batch_size: int, cs=None, ucs=None) -> None:
+                  batch_size: int, cs=None, ucs=None,
+                  compute_dtype: str = "bfloat16") -> None:
     """In-process equivalent of the denoise_image.py subprocess."""
     from . import denoise_image_cli
 
     argv = ["-i", str(in_fpath), "-o", str(out_fpath),
             "--network", mcfg.get("network", "UtNet"),
             "--model_path", mcfg["path"],
+            "--compute_dtype", compute_dtype,
             "--batch_size", str(batch_size)]
     if cs:
         argv += ["--cs", str(cs)]
@@ -152,15 +161,19 @@ def _get_engine(mcfg: dict, args, cs=None, ucs=None):
     cs = cs if cs is not None else args.cs
     ucs = ucs if ucs is not None else args.ucs
     key = (mcfg["path"], mcfg.get("network", "UtNet"), cs, ucs,
-           args.batch_size)
+           args.batch_size, args.compute_dtype)
     if key not in _ENGINE_CACHE:
         params, state = params_io.load_generator(
             mcfg["path"], mcfg.get("network", "UtNet"))
         if mcfg.get("network", "UtNet") == "UNet":
             params = (params, state)
+        # int8_static here calibrates on the synthetic extremal set (the
+        # engine is memoized across a whole directory, so one image's
+        # content must not bake into everyone's scales)
         _ENGINE_CACHE[key] = make_engine(
             mcfg.get("network", "UtNet"), params, cs=cs, ucs=ucs,
             activation=mcfg.get("activation", "PReLU"),
+            compute_dtype=args.compute_dtype,
             batch_size=args.batch_size)
     return _ENGINE_CACHE[key]
 
@@ -385,7 +398,8 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
     # ---- denoise (in-process, on-device) ----
     s1_denoised_fpath.unlink(missing_ok=True)
     _run_denoiser(mcfg, s1_fpath, s1_denoised_fpath, args.batch_size,
-                  cs=args.cs, ucs=args.ucs)
+                  cs=args.cs, ucs=args.ucs,
+                  compute_dtype=args.compute_dtype)
     if not s1_denoised_fpath.exists():
         raise RuntimeError(f"denoiser did not produce {s1_denoised_fpath}")
     exif_mod.clone_exif(input_path, s1_denoised_fpath, verbose=args.verbose)
@@ -468,7 +482,11 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
     raw_params = params  # pre-resolve form (the straggler pool re-resolves
     # per device so each replica's derived kernels colocate with its chip)
     activation = mcfg.get("activation", "PReLU")
-    apply_fn, params = resolve_apply_fn(network, params, activation)
+    # int8_static in batch mode calibrates on the synthetic extremal set:
+    # one SPMD program serves many images, so no one image's content may
+    # bake into the shared scales (the serial path calibrates per image)
+    apply_fn, params = resolve_apply_fn(network, params, activation,
+                                        compute_dtype=args.compute_dtype)
     mesh = pmesh.make_mesh(ndev, local=True)
 
     sigma = int(args.sigma or 1)
@@ -504,7 +522,9 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
             engines[key] = DeviceBatchDenoiser(
                 apply_fn, params, cs=cs_a, ucs=ucs_a,
                 tiles_per_dispatch=max(1, args.batch_size // ndev),
-                compute_dtype="bfloat16",  # the serial fast path's default
+                # tile I/O dtype; the int8 modes live inside apply_fn
+                compute_dtype="float32" if args.compute_dtype == "float32"
+                else "bfloat16",
                 mesh=mesh)
         return engines[key]
 
@@ -623,7 +643,7 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
                           jax.local_devices()[:ndev], cs=cs, ucs=ucs,
                           activation=activation,
                           batch_size=args.batch_size,
-                          compute_dtype="bfloat16")
+                          compute_dtype=args.compute_dtype)
         try:
             def one(worker, item):
                 f, raw, scale, outpath = item

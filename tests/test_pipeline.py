@@ -237,3 +237,52 @@ def test_cli_small_image_fast_path(tmp_path, tiny_checkpoint):
                       "--devices", "1"])
     out = cv2.imread(str(outd / "small.png"), cv2.IMREAD_UNCHANGED)
     assert out is not None and out.shape == (150, 180, 3)
+
+
+def _psnr_u16(a, b):
+    d = a.astype(np.float64) - b.astype(np.float64)
+    return 10 * np.log10(65535.0 ** 2 / max(float((d ** 2).mean()), 1e-12))
+
+
+@pytest.mark.slow  # three engine builds (f32 + 2x int8 programs)
+def test_denoise_cli_compute_dtype_int8_serial_and_batch(tmp_path,
+                                                         tiny_checkpoint):
+    """--compute_dtype int8_static through the PIPELINE CLI (round 3): the
+    serial per-file path (per-image calibration via the image CLI) and the
+    directory batch path (synthetic calibration — shared SPMD program)
+    must both run quantized and stay close to the float32 output."""
+    import cv2
+
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    rng = np.random.default_rng(7)
+    src = tmp_path / "din"
+    src.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(src / f"im{i}.tif"),
+                    (rng.random((150, 160, 3)) * 65535).astype(np.uint16))
+
+    outs = {}
+    for tag, extra in (("f32", ["--compute_dtype", "float32"]),
+                       ("q_serial", ["--compute_dtype", "int8_static",
+                                     "--devices", "1"]),
+                       ("q_batch", ["--compute_dtype", "int8_static",
+                                    "--devices", "8"])):
+        od = tmp_path / f"out_{tag}"
+        od.mkdir()
+        denoise_cli.main([str(src), "--tiff-input", "--no_deblur",
+                          "-e", "png", "-o", str(od),
+                          "--model_path", tiny_checkpoint,
+                          "--cs", "104", "--ucs", "88",
+                          "--batch_size", "2"] + extra)
+        outs[tag] = {p.name: cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+                     for p in od.iterdir()}
+        assert sorted(outs[tag]) == ["im0.png", "im1.png"], sorted(outs[tag])
+
+    for name in outs["f32"]:
+        # quantization noise bound; exact floors are pinned in test_qconv
+        assert _psnr_u16(outs["q_serial"][name], outs["f32"][name]) >= 35.0
+        assert _psnr_u16(outs["q_batch"][name], outs["f32"][name]) >= 35.0
+    # and the quantized paths are actually different programs from f32
+    assert any((outs["q_serial"][n] != outs["f32"][n]).any()
+               for n in outs["f32"])
