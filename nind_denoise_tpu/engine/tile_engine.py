@@ -255,8 +255,9 @@ class TileEngine:
         tiles_per_row = plan.iperhl + 1
         out_np = {"uint16": np.uint16, "uint8": np.uint8,
                   "float16": np.float16, "float32": np.float32}[out_dtype]
-        result = np.empty((h, w, c), out_np)
-        fetcher = transfer.AsyncFetcher(out=result)
+        if not return_device:  # 'device' never touches a host buffer
+            result = np.empty((h, w, c), out_np)
+            fetcher = transfer.AsyncFetcher(out=result)
         fetched_rows = 0
 
         def flush_final_rows(final_rows: int):
@@ -294,21 +295,18 @@ class TileEngine:
             band_dev = new_dev if r == 0 else \
                 self._assemble(band_dev, new_dev, stride=plan.stride)
             submit(r + AHEAD)
-            row_specs = [plan.spec(r * tiles_per_row + xi)
-                         for xi in range(tiles_per_row)]
             for b0 in range(0, tiles_per_row, bsz):
-                chunk = row_specs[b0:b0 + bsz]
-                gcoords = np.zeros((bsz, 2), np.int32)
+                idxs = range(r * tiles_per_row + b0,
+                             r * tiles_per_row + min(b0 + bsz, tiles_per_row))
                 scoords = np.zeros((bsz, 2), np.int32)
                 specs = np.zeros((bsz, 6), np.int32)
-                for j, s in enumerate(chunk):
-                    gcoords[j] = (0, s.abs_x0)
-                    scoords[j] = (s.abs_y0, s.abs_x0)
-                    specs[j] = (s.useful_h, s.useful_w,
-                                s.abs_x0 != 0,
-                                s.abs_y0 != 0,
-                                s.abs_x0 + self.ucs < w and self.ol > 0,
-                                s.abs_y0 + self.ucs < h and self.ol > 0)
+                # the one seam-flag encoding (shared with the native stitcher
+                # and the multi-device engines) — do not re-derive it here
+                cds, sps = plan.tile_specs_arrays(idxs)
+                scoords[:len(cds)] = cds
+                specs[:len(sps)] = sps
+                gcoords = scoords.copy()
+                gcoords[:, 0] = 0  # gather frame: y is 0 within the row band
                 canvas = self._step(self._params, canvas, band_dev, inv_scale,
                                     jnp.asarray(gcoords), jnp.asarray(scoords),
                                     jnp.asarray(specs))

@@ -13,7 +13,6 @@ import math
 from typing import List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 _POOL: Optional[_fut.ThreadPoolExecutor] = None
@@ -32,20 +31,6 @@ def _pool() -> _fut.ThreadPoolExecutor:
 
 def _nchunks(nbytes: int, n0: int) -> int:
     return max(1, min(n0, nbytes // MIN_CHUNK_BYTES))
-
-
-def fast_put(arr: np.ndarray, device=None) -> jax.Array:
-    """Threaded chunked host->device put; returns a device array
-    (concatenated on device)."""
-    n = _nchunks(arr.nbytes, N_STREAMS)
-    if n == 1:
-        return jax.device_put(arr, device)
-    rows = arr.shape[0]
-    step = math.ceil(rows / n)
-    chunks = [arr[i * step:(i + 1) * step] for i in range(n) if i * step < rows]
-    futs = [_pool().submit(jax.device_put, c, device) for c in chunks]
-    parts = [f.result() for f in futs]
-    return jnp.concatenate(parts, axis=0)
 
 
 def fast_get(arr: jax.Array) -> np.ndarray:

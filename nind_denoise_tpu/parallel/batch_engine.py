@@ -76,14 +76,17 @@ class DeviceBatchDenoiser:
         key = (hp_b, wp_b, grid_hb, grid_wb, ntb, channels, str(dtype))
         if key in self._step_cache:
             return self._step_cache[key]
-        nrounds = ntb // self.tpd
         tpd, cs, ucs, pad, ol, axis = (self.tpd, self.cs, self.ucs, self.pad,
                                        self.ol, self.axis)
 
-        def local_step(params, padded, inv_scale, coords, specs):
+        def local_step(params, padded, inv_scale, coords, specs, nrounds):
             """One device: the full tile loop over its own image. coords
             (ntb, 2) / specs (ntb, 6) arrive replicated (P() in_specs →
-            full arrays locally; zero spec row = dummy tile)."""
+            full arrays locally; zero spec row = dummy tile). ``nrounds``
+            is a TRACED scalar (like sharded_engine): the bucketed tile
+            capacity ntb sizes the arrays, but only ceil(ntiles/tpd) rounds
+            actually run — a 4-tile image on tpd=1 runs 4 forwards, not the
+            8 the bucket would imply."""
             padded = padded[0]   # (hp_b, wp_b, C) storage dtype
             canvas = jnp.zeros((grid_hb, grid_wb, channels), jnp.float32)
             if hasattr(lax, "pcast"):  # fresh canvas is device-invariant
@@ -103,7 +106,7 @@ class DeviceBatchDenoiser:
             return canvas[None]
 
         fn = shard_map(local_step, mesh=self.mesh,
-                       in_specs=(P(), P(self.axis), P(), P(), P()),
+                       in_specs=(P(), P(self.axis), P(), P(), P(), P()),
                        out_specs=P(self.axis))
         jitted = jax.jit(fn)
         self._step_cache[key] = jitted
@@ -159,8 +162,9 @@ class DeviceBatchDenoiser:
         coords_dev = jax.device_put(coords_np, repl)
         specs_dev = jax.device_put(specs_np, repl)
         step = self._step(hp_b, wp_b, grid_hb, grid_wb, ntb, c, padded.dtype)
+        nrounds = -(-plan.ntiles // self.tpd)  # real rounds, not ntb // tpd
         out = step(self.params, padded_dev, jnp.asarray(1.0 / scale, self.cdt),
-                   coords_dev, specs_dev)
+                   coords_dev, specs_dev, jnp.asarray(nrounds, jnp.int32))
         out = out[:, :h, :w]  # trivial slice program; the tile loop is shared
         return (out, b) if keep_padded else out[:b]
 

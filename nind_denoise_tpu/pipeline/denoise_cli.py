@@ -535,7 +535,9 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
 
             engines[key] = make_sharded_denoiser(
                 network, None, ndev, cs=cs_a, ucs=ucs_a,
-                batch_size=args.batch_size, resolved=(apply_fn, params))
+                batch_size=args.batch_size,
+                compute_dtype=args.compute_dtype,
+                resolved=(apply_fn, params))
         return engines[key]
 
     def get_tiny() -> TileEngine:
@@ -543,6 +545,7 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
         tiling (the reference aborts on these; sharding them is pointless)."""
         if "tiny" not in engines:
             engines["tiny"] = TileEngine(apply_fn, params, cs, ucs,
+                                         compute_dtype=args.compute_dtype,
                                          size_check=check_cs)
         return engines["tiny"]
 
@@ -609,7 +612,9 @@ def denoise_dir_batch(args, files, ndev: int) -> list:
             u = batch_engine.rl_deblur_sharded(
                 den_full, float(sigma), int(iterations), mesh,
                 impl=args.rl_impl, psf=args.rl_psf)
-            host = np.asarray(ops_rl.gmic_quantize_u8(u))[:nb]
+            # slice the DEVICE array before fetching: a short final chunk
+            # must not download the ndev-nb zero-dummy shards
+            host = np.asarray(ops_rl.gmic_quantize_u8(u)[:nb])
         else:
             den = den_full[:nb]
         for j, (f, _) in enumerate(chunk):

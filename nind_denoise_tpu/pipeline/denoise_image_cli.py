@@ -190,6 +190,15 @@ def _run_whole_spatial(args, ndev: int) -> None:
     if args.g_network == "UNet":
         params = (params, state)
     apply_fn, params = resolve_apply_fn(args.g_network, params, activation)
+    if args.precision == "float32":
+        # parity with the single-device whole path (TileEngine._get_whole_jit
+        # wraps in highest matmul precision); the context applies at trace
+        # time inside the spatial jit
+        import jax
+
+        def apply_fn(p, x, _inner=apply_fn):
+            with jax.default_matmul_precision("highest"):
+                return _inner(p, x)
     img = imgio.load_img(args.input)  # (3, H, W)
     pad = args.pad or 0
     padded = tiles_mod.whole_image_pad(img, pad) if pad \
