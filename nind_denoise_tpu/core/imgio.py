@@ -81,12 +81,13 @@ def load_img_raw(fpath: str) -> Tuple[np.ndarray, float]:
     return rgb, scale
 
 
-def image_hw(fpath: str) -> Tuple[int, int]:
-    """(height, width) without keeping the full decode around."""
-    img = cv2.imread(fpath, flags=cv2.IMREAD_COLOR + cv2.IMREAD_ANYDEPTH)
-    if img is None:
-        raise ValueError(f"imgio.image_hw: could not decode {fpath}")
-    return img.shape[0], img.shape[1]
+def _checked_imwrite(path: str, bgr: np.ndarray) -> None:
+    """cv2.imwrite returns False on failure (missing dir, unwritable path,
+    disk full) instead of raising — silently swallowing that turns a whole
+    denoise run into exit-0 data loss. Raise like the imageio branch does."""
+    if not cv2.imwrite(path, bgr):
+        raise IOError(f"imgio.save_img: cv2 could not write {path} "
+                      f"(missing directory, permissions, or disk full?)")
 
 
 def save_img(img_chw: np.ndarray, path: str) -> None:
@@ -102,10 +103,10 @@ def save_img(img_chw: np.ndarray, path: str) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext in (".jpg", ".jpeg"):
         arr = (np.clip(img_chw, 0, 1) * 255).round().astype(np.uint8).transpose(1, 2, 0)
-        cv2.imwrite(path, cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
+        _checked_imwrite(path, cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
     elif ext in (".png", ".tif"):
         arr = (np.clip(img_chw, 0, 1) * 65535).round().astype(np.uint16).transpose(1, 2, 0)
-        cv2.imwrite(path, cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
+        _checked_imwrite(path, cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
     elif ext == ".tiff":
         import imageio.v2 as imageio
 

@@ -173,7 +173,10 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 def crop2(x: jnp.ndarray, pad: int = 2) -> jnp.ndarray:
-    """torch ZeroPad2d(-pad): crop ``pad`` pixels from each spatial side."""
+    """torch ZeroPad2d(-pad): crop ``pad`` pixels from each spatial side.
+    pad=0 is the identity (x[:, 0:-0] would be an EMPTY slice)."""
+    if pad == 0:
+        return x
     return x[:, pad:-pad, pad:-pad, :]
 
 

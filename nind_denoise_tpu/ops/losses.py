@@ -84,6 +84,14 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray, **kwargs) -> jnp.ndarray:
 def ms_ssim(x: jnp.ndarray, y: jnp.ndarray, weights=MS_SSIM_WEIGHTS,
             **kwargs) -> jnp.ndarray:
     """(N,) per-sample MS-SSIM."""
+    if min(x.shape[1], x.shape[2]) < MS_SSIM_MIN_SIZE:
+        # shapes are static under jit, so this fails cleanly at trace time —
+        # matching the reference's explicit check (pt_losses.py:29) instead
+        # of a negative-dim conv error at scale 5
+        raise ValueError(
+            f"ms_ssim needs inputs >= {MS_SSIM_MIN_SIZE} px per side "
+            f"(got {x.shape[1]}x{x.shape[2]}): the 5-scale pyramid's 11-tap "
+            f"VALID windows run out of pixels below that")
     w = jnp.asarray(weights, jnp.float32)
     css = []
     ss = None

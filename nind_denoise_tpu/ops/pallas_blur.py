@@ -54,14 +54,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _radius(sigma: float) -> int:
-    return max(1, int(math.ceil(3.0 * sigma)))
+    from .rl_deblur import psf_radius
+
+    return psf_radius(sigma)
 
 
 def _taps(sigma: float) -> Tuple[float, ...]:
-    r = _radius(sigma)
-    x = np.arange(-r, r + 1, dtype=np.float64)
-    k = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
-    return tuple(float(t) for t in (k / k.sum()).astype(np.float32))
+    """Static tap tuple of the ONE canonical PSF (rl_deblur.gaussian_taps_np)
+    — the lax and pallas paths must blur with bit-identical kernels or
+    impl='auto' would change pixels with image width/backend."""
+    from .rl_deblur import gaussian_taps_np
+
+    return tuple(float(t) for t in gaussian_taps_np(sigma))
 
 
 # The fused kernel's VMEM use (double-buffered u/d/out scratch + Mosaic's
@@ -95,6 +99,12 @@ def _fused_band_h(w: int, r: int) -> int:
     valid band exists (caller must fall back to the XLA path). band_h >= r
     is required so the in-kernel edge-replicate fixes only ever span the
     first/last two bands (their replicate sources are static slices)."""
+    # horizontal slack: the two chained in-kernel blurs slice vt[k:k+est_cols]
+    # with est_cols = w_out + 2r and k up to 2r, so w_in = w_out + 128 must
+    # cover w_out + 4r — above r = 32 (sigma ~ 10.7) the kernel cannot be
+    # built at ANY band height (pads go negative); the caller falls back
+    if 4 * r > 128:
+        return 0
     best = 0
     bh = 8
     while bh + 2 * r <= 128:
@@ -162,6 +172,14 @@ def _gauss_blur_planar(img_chw: jnp.ndarray, sigma: float = 1.0,
     interpret = interpret or jax.default_backend() != "tpu"
     taps = _taps(sigma)
     r = (len(taps) - 1) // 2
+    if 2 * r > 128:
+        # the horizontal pass slices vt[k:k+w_out] with k up to 2r inside a
+        # w_in = w_out + 128 buffer; beyond r = 64 (sigma ~ 21.4) the pads
+        # go negative before any band-height shrink can help
+        raise ValueError(
+            f"gauss_blur_pallas: kernel radius {r} (sigma={sigma}) exceeds "
+            f"the 128-lane horizontal slack; use the lax path "
+            f"(ops/rl_deblur._blur)")
     halo = _round_up(r, 8)               # row halo on the sublane tiling
     w_out = _round_up(w, 128)
     w_in = w_out + 128                   # room for the 2r horizontal slack

@@ -148,16 +148,7 @@ def qconv(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
     ``x.dtype``. ``padding``: 'VALID'/'SAME'/'FULL' or explicit pairs;
     ``tile_bias`` doubles the bias vector for width-folded layers (the
     folded channel layout v*C+c of ops/fastconv.py)."""
-    if padding == "FULL":
-        kh, kw = wq.shape[0], wq.shape[1]
-        padding = ((kh - 1, kh - 1), (kw - 1, kw - 1))
-    xq, sx = quant_act(x) if sx is None else quant_act_static(x, sx)
-    dn = lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
-    y32 = lax.conv_general_dilated(
-        xq, wq, window_strides=(1, 1), padding=padding,
-        lhs_dilation=lhs_dilation, dimension_numbers=dn,
-        preferred_element_type=jnp.int32)
-    y = y32.astype(jnp.float32) * (sx * sw.astype(jnp.float32))
+    y = qconv_raw(x, wq, sw, padding, lhs_dilation=lhs_dilation, sx=sx)
     if b is not None:
         bb = jnp.tile(b, 2) if tile_bias else b
         y = y + bb.astype(jnp.float32)

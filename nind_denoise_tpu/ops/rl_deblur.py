@@ -62,11 +62,25 @@ import numpy as np
 from jax import lax
 
 
-def gaussian_psf_1d(sigma: float) -> jnp.ndarray:
-    radius = max(1, int(math.ceil(3.0 * sigma)))
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+def psf_radius(sigma: float) -> int:
+    return max(1, int(math.ceil(3.0 * sigma)))
+
+
+def gaussian_taps_np(sigma: float) -> "np.ndarray":
+    """THE canonical truncated-FIR Gaussian (radius = ceil(3*sigma),
+    normalized), as a concrete float32 numpy array — pure host math so the
+    Pallas path can bake the identical taps as static kernel constants
+    (a jnp builder would produce tracers inside its jit)."""
+    import numpy as np
+
+    r = psf_radius(sigma)
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-(x ** 2) / np.float32(2.0 * sigma ** 2)).astype(np.float32)
     return k / k.sum()
+
+
+def gaussian_psf_1d(sigma: float) -> jnp.ndarray:
+    return jnp.asarray(gaussian_taps_np(sigma))
 
 
 def _blur_axis(x: jnp.ndarray, k1d: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -176,6 +190,9 @@ def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
     """
     if psf not in ("gaussian", "gmic_fast"):
         raise ValueError(f"rl_deblur: unknown psf {psf!r}")
+    if impl not in ("auto", "pallas", "xla"):
+        # a typo must not silently run the 2.3x-slower lax path
+        raise ValueError(f"rl_deblur: unknown impl {impl!r}")
     if impl == "auto":
         from . import pallas_blur as _pb
 

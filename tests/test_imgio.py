@@ -73,3 +73,14 @@ def test_crop_to_multiple():
     x = np.zeros((3, 130, 67))
     y = imgio.crop_to_multiple(x, 64)
     assert y.shape == (3, 128, 64)
+
+
+def test_save_img_raises_on_unwritable_path(tmp_path):
+    """cv2.imwrite returns False instead of raising; save_img must turn
+    that into an error — a missing output directory previously produced an
+    exit-0 run with no file (silent data loss after minutes of denoise)."""
+    from nind_denoise_tpu.core import imgio
+
+    img = np.zeros((3, 8, 8), np.float32)
+    with pytest.raises(IOError, match="could not write"):
+        imgio.save_img(img, str(tmp_path / "no_such_dir" / "out.png"))

@@ -145,3 +145,14 @@ def test_ssim_matches_piqa():
     theirs = piqa.SSIM(reduction="none")(
         torch.from_numpy(x), torch.from_numpy(y)).detach().numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+
+def test_ms_ssim_min_size_clean_error():
+    """Inputs below MS_SSIM_MIN_SIZE must fail with the explicit check the
+    reference has (pt_losses.py:29), not a negative-dim conv error at
+    pyramid scale 5."""
+    from nind_denoise_tpu.ops import losses
+
+    x = jnp.zeros((1, 100, 100, 3), jnp.float32)
+    with pytest.raises(ValueError, match="162"):
+        losses.ms_ssim(x, x)

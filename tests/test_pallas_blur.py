@@ -143,3 +143,31 @@ def test_pallas_rl_fused_wide_taps():
     got = np.asarray(pallas_blur.rl_deblur_pallas_fused(
         jnp.asarray(img), 3.0, 2, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_large_sigma_gates_to_xla_not_crash():
+    """fused_fits must account for the 128-lane horizontal slack (the two
+    chained in-kernel blurs need w_in >= w_out + 4r): sigma ~ 11-14 used to
+    pass the VMEM gate and then crash with a negative-pad ValueError inside
+    jit. The auto path must fall back to XLA and produce pixels."""
+    from nind_denoise_tpu.ops import pallas_blur, rl_deblur
+
+    assert not pallas_blur.fused_fits(1024, 12.0)
+    assert pallas_blur.fused_fits(1024, 10.0)  # 4r = 120 still fits
+    img = jnp.asarray(np.random.default_rng(0).random((64, 96, 3),
+                                                      dtype=np.float32))
+    out = rl_deblur.rl_deblur(img, sigma=12.0, iterations=1, impl="auto")
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="VMEM|xla"):
+        pallas_blur.rl_deblur_pallas_fused(img, sigma=12.0, iterations=1,
+                                           interpret=True)
+
+
+def test_gauss_blur_large_sigma_clean_error():
+    """Radius > 64 (sigma > ~21.4) must fail with the module's clean
+    message, not a negative-pad ValueError from jnp.pad."""
+    from nind_denoise_tpu.ops import pallas_blur
+
+    img = jnp.zeros((16, 256, 3), jnp.float32)
+    with pytest.raises(ValueError, match="128-lane"):
+        pallas_blur.gauss_blur_pallas(img, sigma=22.0)

@@ -220,3 +220,10 @@ def test_batch_and_single_shapes_agree():
     single = np.asarray(rl_deblur.rl_deblur(jnp.asarray(blurred), 1.0, 5))
     batched = np.asarray(rl_deblur.rl_deblur(jnp.asarray(blurred)[None], 1.0, 5))[0]
     np.testing.assert_allclose(single, batched, atol=1e-6)
+
+
+def test_rl_deblur_rejects_unknown_impl():
+    """A typo'd impl must raise, not silently run the 2.3x-slower lax path."""
+    img = jnp.zeros((16, 16, 3), jnp.float32)
+    with pytest.raises(ValueError, match="unknown impl"):
+        rl_deblur.rl_deblur(img, impl="pallsa")
