@@ -151,7 +151,9 @@ class NLayerDiscriminator:
         cin, cout = input_nc, ndf
         params["layers"].append({"c": _init_conv(nk(), 4, 4, cin, cout, None)})
         for i in range(1, n_layers + 1):
-            cin, cout = cout, min(ndf * 2 ** i, ndf * 8)
+            # reference doubles capped at an ABSOLUTE 512 (p2p_networks.py:
+            # 317,324 ``nf = min(nf * 2, 512)``), not 8*ndf
+            cin, cout = cout, min(cout * 2, 512)
             lay = {"c": _init_conv(nk(), 4, 4, cin, cout, None)}
             np_, ns_ = _maybe_norm(norm_type, cout)
             if np_ is not None:
@@ -167,7 +169,8 @@ class NLayerDiscriminator:
         ns: Dict = {}
         t = x
         n_total = len(params["layers"])
-        pad1 = ((1, 1), (1, 1))  # torch Conv2d(k=4, padding=1)
+        # torch Conv2d(k=4, padding=ceil(3/2)=2) — p2p_networks.py:311
+        pad1 = ((2, 2), (2, 2))
         for i, lay in enumerate(params["layers"]):
             stride = 2 if i < n_total - 1 else 1  # last ladder conv is stride 1
             t = C.conv2d(t, lay["c"]["w"], lay["c"].get("b"), pad1, stride)
@@ -217,6 +220,20 @@ class PixelDiscriminator:
         return t, ns
 
 
+def _avgpool3x3_s2_p1(x: jnp.ndarray) -> jnp.ndarray:
+    """torch AvgPool2d(3, stride=2, padding=1, count_include_pad=False),
+    NHWC — the MultiscaleDiscriminator pyramid downsample
+    (p2p_networks.py:372)."""
+    import jax.lax as lax
+
+    win, strides = (1, 3, 3, 1), (1, 2, 2, 1)
+    padding = ((0, 0), (1, 1), (1, 1), (0, 0))
+    s = lax.reduce_window(x, 0.0, lax.add, win, strides, padding)
+    cnt = lax.reduce_window(jnp.ones_like(x[..., :1]), 0.0, lax.add,
+                            win, strides, padding)
+    return s / cnt
+
+
 class MultiscaleDiscriminator:
     """N PatchGAN critics over an avg-pooled image pyramid."""
 
@@ -237,12 +254,18 @@ class MultiscaleDiscriminator:
               **_ignored) -> Tuple[List[jnp.ndarray], Dict]:
         outs, ns = [], {}
         t = x
-        for d in range(len(params)):
+        num_d = len(params)
+        # reference order (p2p_networks.py:389-396): critic num_D-1 sees the
+        # FULL resolution, critic 0 the smallest; downsample is an
+        # overlapping AvgPool2d(3, stride=2, padding=1,
+        # count_include_pad=False), not a disjoint 2x2 pool
+        for i in range(num_d):
+            d = num_d - 1 - i
             o, ns[f"d{d}"] = NLayerDiscriminator.apply(
                 params[f"d{d}"], t, state[f"d{d}"], train, norm_type)
             outs.append(o)
-            if d < len(params) - 1:
-                t = C.avgpool2x_ceil(t)
+            if i < num_d - 1:
+                t = _avgpool3x3_s2_p1(t)
         return outs, ns
 
 

@@ -393,7 +393,14 @@ class Loader:
             for b in my_batches:
                 if stop.is_set():
                     return
-                q.put(assemble(b))
+                try:
+                    item = assemble(b)
+                except BaseException as e:  # noqa: BLE001 — a silently dead
+                    # daemon worker would hang the training loop forever on
+                    # q.get (its batches never arrive); propagate instead
+                    q.put(("__loader_error__", e))
+                    return
+                q.put(item)
 
         if self.num_threads == 1:
             for b in batches:
@@ -408,7 +415,12 @@ class Loader:
             t.start()
         try:
             for _ in range(nb):
-                yield q.get()
+                item = q.get()
+                if type(item[0]) is str and item[0] == "__loader_error__":
+                    raise RuntimeError(
+                        "Loader worker failed while assembling a batch "
+                        "(corrupt/unreadable crop?)") from item[1]
+                yield item
         finally:
             stop.set()
             while not q.empty():

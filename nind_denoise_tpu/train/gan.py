@@ -52,6 +52,9 @@ class DiscriminatorWrapper:
         from . import steps
 
         self.net = get_network(network)
+        self.keyword = keyword
+        # the generator-loss weight this discriminator's fooling term feeds
+        self.wname = "D2" if keyword == "discriminator2" else "D1"
         self.conditional = conditional
         self.advantage = advantage
         self.lr = lr if lr is not None else 1e-4
@@ -104,7 +107,10 @@ class DiscriminatorWrapper:
 
         clean_c = steps.center_crop(jnp.asarray(clean), loss_cs)
         noisy_c = steps.center_crop(jnp.asarray(noisy), loss_cs)
-        fwd = gen.infer if hasattr(gen, "infer") else gen.apply_fn
+        # jitted: this runs EVERY discriminator step (an un-jitted full
+        # generator forward op-by-op dominated cGAN batch wall time)
+        fwd = gen.infer_jit if hasattr(gen, "infer_jit") else \
+            (gen.infer if hasattr(gen, "infer") else gen.apply_fn)
         generated = jnp.clip(fwd(gen.state.params, jnp.asarray(noisy)), 0, 1)
         generated_c = steps.center_crop(generated, loss_cs)
         fake_is_noisy = jnp.asarray(self.loss < 0.25)  # nn_common.py:349-353

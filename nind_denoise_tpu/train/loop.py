@@ -266,6 +266,22 @@ class GeneratorWrapper:
             return self.apply_fn(params, x, self.state.model_state)[0]
         return self.apply_fn(params, x)
 
+    def infer_jit(self, params, x):
+        """Jitted ``infer``, compiled once per shape: per-batch callers (the
+        discriminator's fake forward, validation image dumps) must not pay
+        op-by-op dispatch for a full generator forward every iteration."""
+        if getattr(self, "_infer_jit", None) is None:
+            import jax
+
+            if self.stateful:
+                self._infer_jit = jax.jit(
+                    lambda p_, x_, ms: self.apply_fn(p_, x_, ms)[0])
+            else:
+                self._infer_jit = jax.jit(lambda p_, x_: self.apply_fn(p_, x_))
+        if self.stateful:
+            return self._infer_jit(params, x, self.state.model_state)
+        return self._infer_jit(params, x)
+
     def get_loss(self, pretty_printed=False, component="weighted"):
         if pretty_printed:
             return ", ".join(f"{k}: {v:.3f}" for k, v in self.loss.items()
@@ -284,7 +300,7 @@ class GeneratorWrapper:
                        os.path.join(model_dir, f"{name}_{epoch}.npz"))
 
 
-def validate_generator(eval_step, gen, validation_set, loss_cs,
+def validate_generator(eval_step, gen, validation_set,
                        output_to_dir: Optional[str] = None) -> float:
     """Per-epoch validation on fixed crop pairs (nn_train.py:51-71)."""
     import jax.numpy as jnp
@@ -299,14 +315,15 @@ def validate_generator(eval_step, gen, validation_set, loss_cs,
         metrics = eval_step(gen.state.params, c, n, gen.state.model_state)
         if output_to_dir is not None:
             os.makedirs(output_to_dir, exist_ok=True)
-            den = np.clip(np.asarray(gen.infer(gen.state.params, n))[0], 0, 1)
+            den = np.clip(np.asarray(gen.infer_jit(gen.state.params, n))[0],
+                          0, 1)
             imgio.save_img(den.transpose(2, 0, 1),
                            os.path.join(output_to_dir, f"{i}.tif"))
         losses.append(float(metrics["weighted"]))
     return statistics.mean(losses)
 
 
-def test_generator(gen, test_set, weights, output_to_dir: Optional[str] = None) -> float:
+def test_generator(gen, test_set, output_to_dir: Optional[str] = None) -> float:
     """Whole-image test (nn_train.py:73-93); device-side here instead of the
     reference's CPU fallback (its "enormous amounts of RAM" warning). On a
     multi-device host the forward additionally shards the H axis over the
@@ -451,6 +468,12 @@ def main(argv=None):
         p.print(f"Initialized clean dataset of size {len(cc)}. "
                 f"Clean batch_size = {bs_clean}")
         clean_loader = ds_mod.Loader(cc, bs_clean, num_threads=1, seed=args.seed)
+        if len(clean_loader) == 0:
+            # drop_last loader: a clean set smaller than bs_clean would
+            # StopIteration forever mid-epoch — fail fast with the cause
+            raise SystemExit(
+                f"clean dataset ({len(cc)} crops) is smaller than the clean "
+                f"batch size {bs_clean}; add data or lower --clean_data_ratio")
         clean_iter = iter(clean_loader)
     else:
         cc = clean_loader = clean_iter = None
@@ -470,9 +493,24 @@ def main(argv=None):
         apply_fn = partial(net.apply_fast, activation=args.g_activation)
         init_fn = lambda k: net.init(k, funit=args.g_funit,
                                      activation=args.g_activation)
-    else:  # UNet: BatchNorm state threads through the train step
+    elif args.g_network == "UNet":  # BatchNorm state threads through the step
         apply_fn = lambda params, x, ms: net.apply(params, x, ms, train=True)
         init_fn = lambda k: net.init(k)
+    elif args.g_network in ("Hulb128Net", "Hulbs128Net"):
+        # the reference's heavy GAN generators (Hul.py): stateless, so the
+        # standard 2-arg step signature applies
+        apply_fn = lambda params, x: net.apply(params, x,
+                                               activation=args.g_activation)
+        init_fn = lambda k: net.init(k, funit=args.g_funit,
+                                     activation=args.g_activation)
+    else:
+        # the rest of the zoo (relics, p2p, DnCNN/RedCNN) threads BN state
+        # with per-family signatures; the reference never trains them from
+        # its configs either — fail fast instead of a TypeError mid-trace
+        raise SystemExit(
+            f"--g_network {args.g_network}: the trainer supports UtNet, "
+            f"UNet, Hulb128Net, Hulbs128Net (the reference's trainable "
+            f"generators); {args.g_network} is registry/inference-only")
     if args.compute_dtype == "bfloat16":
         if stateful:
             p.print("Warning: --compute_dtype bfloat16 is unsupported for "
@@ -516,7 +554,12 @@ def main(argv=None):
             advantage=args.discriminator2_advantage, patience=args.patience,
             model_path=args.d2_model_path, keyword="discriminator2"))
 
-    disc_apply_fns = tuple(d.pred_fn for d in discs) + (None,) * (2 - len(discs))
+    # slot the fooling terms by IDENTITY (D1/D2), not list position: a
+    # D2-only run must reach the weight_D2 term, not a zero-weighted D1
+    _slots = [None, None]
+    for d in discs:
+        _slots[0 if d.wname == "D1" else 1] = d.pred_fn
+    disc_apply_fns = tuple(_slots)
     train_step = steps.make_generator_train_step(
         apply_fn, gen.optimizer, weights, args.loss_cs,
         compute_ssim_anyway=args.compute_SSIM_anyway, remat=args.remat,
@@ -549,7 +592,7 @@ def main(argv=None):
             if "output_val_images" in debug_options and is_chief \
             else (lambda e: None)
         validation_loss = validate_generator(eval_step, gen, validation_set,
-                                             args.loss_cs, val_dir(0))
+                                             val_dir(0))
         jsonsaver.add_res(0, {"validation_loss": validation_loss})
         p.print(f"Validation loss: {validation_loss}")
     else:
@@ -588,9 +631,9 @@ def main(argv=None):
                     try:
                         cb = next(clean_iter)
                     except StopIteration:
-                        clean_iter = iter(clean_loader)
-                        cb = next(clean_iter)
                         p.print("Reloading clean_dataloader")
+                        clean_iter = iter(clean_loader)
+                        cb = next(clean_iter)  # non-empty: guarded at setup
                     clean_np = np.concatenate([clean_np, cb[0]])
                     noisy_np = np.concatenate([noisy_np, cb[1]])
                 summary = f"Epoch {epoch} batch {iteration}/{len(loader)}: "
@@ -607,7 +650,8 @@ def main(argv=None):
                         key, sub = jax.random.split(key)
                         d.learn(sub, clean, noisy, gen, args.loss_cs)
                         loss_d_lists[di].append(d.loss)
-                        summary += f"loss D{di+1}: {d.loss:.4f} ({d.predictions_range}) "
+                        summary += (f"loss {d.wname}: {d.loss:.4f} "
+                                    f"({d.predictions_range}) ")
                     d_learns.append(learns)
 
                 if not discs:
@@ -645,9 +689,8 @@ def main(argv=None):
                 p.print(f"Graceful shutdown: checkpointing epoch {epoch} "
                         f"after {batches_done}/{len(loader)} batches")
                 if is_chief:
-                    for di, d in enumerate(discs):
-                        d.save_model(model_dir, epoch,
-                                     "discriminator" if di == 0 else "discriminator2")
+                    for d in discs:
+                        d.save_model(model_dir, epoch, d.keyword)
                     gen.save_model(model_dir, epoch)
                     # name the exact file: a bare dir resolves to the *best*
                     # epoch (params_io.complete_path), not this latest one
@@ -663,13 +706,14 @@ def main(argv=None):
                 p.print(f"delete_outperformed_models removed {removed}")
 
             if args.validation_interval > 0 and epoch % args.validation_interval == 0:
-                validation_loss = validate_generator(eval_step, gen, validation_set,
-                                                     args.loss_cs, val_dir(epoch))
+                validation_loss = validate_generator(eval_step, gen,
+                                                     validation_set,
+                                                     val_dir(epoch))
                 jsonsaver.add_res(epoch, {"validation_loss": validation_loss},
                                   write=False)
                 p.print(f"Validation loss: {validation_loss}")
             if args.test_interval > 0 and epoch % args.test_interval == 0:
-                test_loss = test_generator(gen, test_set, weights, test_dir(epoch))
+                test_loss = test_generator(gen, test_set, test_dir(epoch))
                 jsonsaver.add_res(epoch, {"test_loss": test_loss}, write=False)
 
             p.print(f"Epoch {epoch} summary:")
@@ -697,8 +741,7 @@ def main(argv=None):
                     p.print(f"Discriminator{di+1} average normalized loss: {avg_d}")
                     disc_lrs[di] = d.update_learning_rate(avg_d)
                     if is_chief:
-                        d.save_model(model_dir, epoch,
-                                     "discriminator" if di == 0 else "discriminator2")
+                        d.save_model(model_dir, epoch, d.keyword)
             if not frozen_generator and is_chief:
                 gen.save_model(model_dir, epoch)
             if args.time_limit and args.time_limit < time.time() - start_time:

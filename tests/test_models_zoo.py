@@ -120,15 +120,17 @@ def test_patchgan_matches_torch():
     """4x4 stride-2 ladder parity incl. the asymmetric SAME-like padding."""
     ndf, n_layers = 8, 2
     torch.manual_seed(3)
-    seq = [nn.Conv2d(6, ndf, 4, stride=2, padding=1), nn.LeakyReLU(0.2)]
+    # padding=2 (= ceil(3/2)) and the ABSOLUTE 512 doubling cap, exactly as
+    # p2p_networks.py:310-331 builds it
+    seq = [nn.Conv2d(6, ndf, 4, stride=2, padding=2), nn.LeakyReLU(0.2)]
     c = ndf
     for i in range(1, n_layers + 1):
-        cout = min(ndf * 2 ** i, ndf * 8)
+        cout = min(c * 2, 512)
         stride = 2 if i < n_layers else 1
-        seq += [nn.Conv2d(c, cout, 4, stride=stride, padding=1),
+        seq += [nn.Conv2d(c, cout, 4, stride=stride, padding=2),
                 nn.BatchNorm2d(cout), nn.LeakyReLU(0.2)]
         c = cout
-    seq.append(nn.Conv2d(c, 1, 4, stride=1, padding=1))
+    seq.append(nn.Conv2d(c, 1, 4, stride=1, padding=2))
     tm = nn.Sequential(*seq).eval()
 
     sd = tm.state_dict()
@@ -161,6 +163,18 @@ def test_multiscale_discriminator():
         params, jnp.zeros((1, 64, 64, 6)), state)
     assert len(outs) == 2
     assert outs[1].shape[1] < outs[0].shape[1]  # pyramid
+
+
+def test_multiscale_downsample_matches_torch_avgpool():
+    """The pyramid downsample is AvgPool2d(3, 2, padding=1,
+    count_include_pad=False) (p2p_networks.py:372) — overlapping windows
+    with edge renormalization, not a disjoint 2x2 pool."""
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 9, 12, 3), dtype=np.float32)
+    ref = nn.AvgPool2d(3, stride=2, padding=1, count_include_pad=False)(
+        torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(p2p._avgpool3x3_s2_p1(jnp.asarray(x)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=1e-6)
 
 
 def test_hulf112_shapes():

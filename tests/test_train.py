@@ -461,3 +461,80 @@ def test_training_actually_learns_to_denoise():
     p_den = psnr(np.clip(den, 0, 1), clean)
     # measured on this recipe: p_den ~21.7 (+5.1 dB); assert a 3 dB margin
     assert p_den > p_noisy + 3.0, (p_den, p_noisy)
+
+
+def test_loader_worker_error_propagates_not_hangs(cropped_ds):
+    """A worker that raises (corrupt crop, decode failure) must surface as
+    an exception on the training thread — previously the daemon thread died
+    silently and the main loop blocked forever on q.get()."""
+    ds = ds_mod.DenoisingDataset([cropped_ds], cs=64, seed=0)
+
+    class Boom:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise OSError("simulated corrupt crop")
+            return ds[i]
+
+    loader = ds_mod.Loader(Boom(), batch_size=2, num_threads=2, seed=0)
+    with pytest.raises(RuntimeError, match="Loader worker failed"):
+        for _ in loader:
+            pass
+
+
+def test_hul_generator_trains_one_step():
+    """Hulb128Net is a reference-trainable generator (Hul.py heavy GAN
+    generators); the trainer's apply_fn branch must drive it with the
+    standard 2-arg step signature (round-3 fix: previously any non-UtNet
+    non-UNet generator crashed with a 3-arg stateful lambda)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nind_denoise_tpu.models.hul_gen import Hulb128Net
+    from nind_denoise_tpu.train import steps
+
+    params = Hulb128Net.init(jax.random.PRNGKey(0), funit=1)
+    opt = steps.make_optimizer(lr=1e-4, beta1=0.5, amsgrad=True)
+    state = steps.TrainState(params, opt.init(params))
+    step = steps.make_generator_train_step(
+        lambda p, x: Hulb128Net.apply(p, x), opt, weights={"MSE": 1.0},
+        loss_cs=96)
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(rng.random((2, 128, 128, 3), dtype=np.float32))
+    noisy = jnp.asarray(rng.random((2, 128, 128, 3), dtype=np.float32))
+    state, metrics = step(state, clean, noisy)
+    assert np.isfinite(float(metrics["weighted"]))
+
+
+@pytest.mark.slow
+def test_d2_only_gan_reaches_generator_and_checkpoints_as_d2(
+        cropped_ds_104, tmp_path):
+    """--weight_D2 with NO D1 (round-3 fix): the fooling term must feed the
+    weight_D2 slot (previously mapped positionally to the zero-weighted D1)
+    and the checkpoint must be discriminator2_<e>.npz (previously saved
+    under the D1 name, breaking --d2_model_path resume)."""
+    from nind_denoise_tpu.train import loop
+
+    models_dir = str(tmp_path / "models")
+    loop.main([
+        "--train_data", cropped_ds_104,
+        "--models_dpath", models_dir,
+        "--test_reserve", "0",
+        "--g_network", "UtNet", "--g_funit", "2",
+        "--cs", "136", "--loss_cs", "136",
+        "--weight_MSE", "1", "--weight_MSSSIM", "0", "--weight_D2", "0.5",
+        "--d2_network", "Hul112Disc", "--d2_funit", "1", "--d2_lr", "1e-4",
+        "--batch_size", "2", "--epochs", "2", "--start_epoch", "1",
+        "--g_lr", "1e-3", "--beta1", "0.5", "--patience", "2",
+        "--reduce_lr_factor", "0.95", "--min_lr", "1e-9",
+        "--validation_interval", "0",  # fixture crops are 112px < cs=136
+        "--threads", "1",
+    ])
+    exp = os.path.join(models_dir, os.listdir(models_dir)[0])
+    files = os.listdir(exp)
+    assert any(f.startswith("discriminator2_") for f in files), files
+    assert not any(f.startswith("discriminator_") for f in files), files
+    log = open(os.path.join(exp, "train.log")).read()
+    assert "loss D2" in log
