@@ -29,14 +29,30 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
 
+def _host_tag() -> str:
+    from nind_denoise_tpu.utils import jaxcache
+
+    return jaxcache._host_tag()
+
+
 def _load_baseline_cache() -> dict:
+    """CPU baselines cached per HOST FINGERPRINT: the container migrates
+    between physical hosts (CLAUDE.md), and a vs_baseline ratio against
+    another machine's torch-CPU numbers silently corrupts the scorecard.
+    A stale-host cache is discarded and re-measured (~4 min one-time)."""
     if os.path.isfile(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)
+            cache = json.load(f)
+        if cache.get("host") == _host_tag():
+            return cache
+        print(f"bench_baseline.json is from another host "
+              f"({cache.get('host')} != {_host_tag()}); re-measuring",
+              file=sys.stderr)
     return {}
 
 
 def _save_baseline_cache(cache: dict) -> None:
+    cache["host"] = _host_tag()
     with open(BASELINE_CACHE, "w") as f:
         json.dump(cache, f, indent=1)
 

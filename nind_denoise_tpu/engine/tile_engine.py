@@ -111,6 +111,30 @@ class TileEngine:
         """Read-only: see the immutability invariant in __init__."""
         return self._params
 
+    def recalibrate_int8(self, img01_hwc) -> bool:
+        """int8_static engines only: re-derive the static activation scales
+        on crops of THIS image (ops/qconv.calib_from_image) and swap them
+        into the device-resident params bundle — content-matched scales are
+        worth +12 dB on dim content vs the synthetic calibration set
+        (PERF.md 'int8 engine mode'), and this lets a directory-memoized
+        engine deliver that per file.
+
+        This does NOT violate the immutability invariant in __init__: the
+        weights and the derived closure stay fixed; the activation scales
+        ride as traced leaves of the bundle precisely so they can change
+        per image without touching any compiled program (HLO byte-stability
+        pinned by tests/test_qconv.py). Returns False (no-op) when the
+        engine's apply_fn is not int8_static-resolved."""
+        recal = getattr(self.apply_fn, "recalibrate", None)
+        if recal is None:
+            return False
+        from ..ops.qconv import calib_from_image
+
+        bundle = recal(calib_from_image(np.asarray(img01_hwc, np.float32)))
+        with self._placement():
+            self._params = jax.device_put(bundle, self._device)
+        return True
+
     def _placement(self):
         """Thread-local placement scope for this engine's device (see
         ``device`` in __init__); a no-op when unpinned. Must wrap every
@@ -479,6 +503,7 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU",
                 from ..ops.qconv import calib_tiles
 
                 calib = calib_tiles()
+            raw_p = params
             d_cal = net.calibrate_int8(params, derived, calib,
                                        activation=activation)
             acts = d_cal.pop("acts")
@@ -486,10 +511,21 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU",
             # leaves (not closure constants): per-image calibration
             # (calib_from_image) must not change the HLO, or every image
             # would recompile the tile programs (30s-15min on the tunnel)
-            params = {"params": params, "acts": acts}
+            params = {"params": raw_p, "acts": acts}
             apply_fn = lambda pb, x: net.apply_int8(
                 pb["params"], x, activation=activation,
                 derived={**d_cal, "acts": pb["acts"]})
+
+            def _recalibrate(calib_batch, _p=raw_p):
+                """Fresh params bundle with scales calibrated on
+                ``calib_batch`` — same weights, same HLO (the scales are
+                traced leaves). TileEngine.recalibrate_int8 uses this to
+                content-match a memoized engine to each image."""
+                d2 = net.calibrate_int8(_p, derived, calib_batch,
+                                        activation=activation)
+                return {"params": _p, "acts": d2["acts"]}
+
+            apply_fn.recalibrate = _recalibrate
         else:
             apply_fn = lambda p, x: net.apply_int8(
                 p, x, activation=activation, derived=derived)

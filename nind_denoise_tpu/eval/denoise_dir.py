@@ -194,7 +194,11 @@ def main(argv=None):
 
         def _ofp(fn2):
             p = os.path.join(save_dir, fn2)
-            return p + ".tif" if p.endswith("jpg") else p
+            root, ext = os.path.splitext(p)
+            # uint16 output cannot be a JPEG (cv2: 8-bit only); remap any
+            # jpeg-ish extension, case-insensitively (.jpg/.JPG/.jpeg)
+            return root + ext + ".tif" if ext.lower() in (".jpg", ".jpeg") \
+                else p
 
         # which images actually need denoising — decode-ahead must skip
         # the skipped ones too, or every skipped image's decoded array
@@ -220,6 +224,10 @@ def main(argv=None):
                     # storage dtype straight to the streaming engine
                     out = denoise_u16(raw, scale)
                     denoise_image_cli.imgio_save_uint16(out, out_fpath)
+            if args.no_scoring:
+                # the user opted out of metrics: do not pay (or crash on) a
+                # baseline comparison — e.g. a flat dir with no real GT
+                continue
             cur = score.get_losses(baseline, out_fpath)
             print(f"in: {in_fpath}, out: {out_fpath}, clean: {baseline}")
             print(cur)

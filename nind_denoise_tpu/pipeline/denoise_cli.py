@@ -231,8 +231,14 @@ def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
         # below the minimum tiling (the reference aborts): pad-to-valid
         # single forward (TileEngine.denoise_tiny), still device-resident
         engine = _get_engine(mcfg, args, cs=None, ucs=None)
+        if args.compute_dtype == "int8_static":
+            engine.recalibrate_int8(raw.astype(np.float32) / scale)
         return engine.denoise_tiny(raw, scale, out_dtype="device")
     engine = _get_engine(mcfg, args, cs=cs, ucs=ucs)
+    if args.compute_dtype == "int8_static":
+        # content-match the memoized engine's static scales to THIS image
+        # (scales are traced leaves — no recompile; engine docstring)
+        engine.recalibrate_int8(raw.astype(np.float32) / scale)
     return engine.denoise_raw(raw, scale, out_dtype="device")
 
 
@@ -301,7 +307,10 @@ def _initial_outpath(args, input_path: pathlib.Path) -> pathlib.Path:
 
 def _collision_resolve(outpath: pathlib.Path,
                        taken=frozenset()) -> pathlib.Path:
-    """_1.._99 collision counter (denoise.py:383-389). ``taken``: extra
+    """_1.._99 collision counter (denoise.py:383-389) — including the
+    reference's stem-compounding on repeated collisions (img -> img_1 ->
+    img_1_2: the reference also appends to the already-suffixed stem).
+    ``taken``: extra
     paths to treat as existing — reservations made before their files are
     written (the straggler pool resolves all outpaths up front on the
     caller thread so concurrent writers cannot race the counter)."""
@@ -314,7 +323,7 @@ def _collision_resolve(outpath: pathlib.Path,
     return outpath
 
 
-def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
+def denoise_file(args, input_path: pathlib.Path) -> Optional[pathlib.Path]:
     print(input_path)
     outpath = _initial_outpath(args, input_path)
 
@@ -363,6 +372,14 @@ def denoise_file(args, input_path: pathlib.Path) -> pathlib.Path:
 
     have_xmp = input_xmp.is_file()
     if not args.tiff_input:
+        if not have_xmp:
+            # hardening over the reference, which crashes the whole run here
+            # (denoise.py:392 parses the sidecar unconditionally once the
+            # RAW alone passed the good_file check): skip just this file
+            print(f"No XMP sidecar for {input_path} ({input_xmp.name} not "
+                  f"found); skipping (darktable development needs the "
+                  f"history stack).")
+            return None
         xmp.split_history(input_xmp, config=config, verbose=args.verbose)
         s1_fpath.unlink(missing_ok=True)
         external.run_darktable_stage1(cmd_darktable, input_path,

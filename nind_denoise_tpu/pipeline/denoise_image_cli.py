@@ -39,6 +39,9 @@ def autodetect_network_cs_ucs(args) -> None:
             sys.exit("Could not determine network architecture from path. "
                      "Please specify --network (typically UNet or UtNet)")
         print(f"Assuming {args.g_network} from path")
+    # NOTE reference parity (denoise_image.py:69-79): when EITHER is unset
+    # BOTH are replaced by the arch defaults — an explicit --cs without
+    # --ucs is deliberately ignored, exactly like upstream
     if args.cs is None or args.ucs is None:
         args.cs, args.ucs = default_cs_ucs(args.g_network)
         print(f"cs={args.cs}, ucs={args.ucs}")

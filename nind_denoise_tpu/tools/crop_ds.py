@@ -64,7 +64,14 @@ def crop_image(src_fpath: str, out_dir: str, cs: int, stride: int) -> int:
         if os.path.isfile(dst):
             n += 1
             continue
-        if is_jpeg and _crop_jpegtran(src_fpath, dst, x, y, cs):
+        # jpegtran silently rounds a non-iMCU-aligned origin DOWN (up to
+        # 15 px at 4:2:0), so its pixels would not match the _x_y_ name —
+        # and a clean/noisy pair where one file took the exact cv2 path
+        # would be spatially misaligned supervision. Only use it where it
+        # is exact: origin and size on 16-px boundaries (every JPEG
+        # sampling's iMCU divides 16); clamped edge tiles take cv2.
+        if is_jpeg and x % 16 == 0 and y % 16 == 0 and cs % 16 == 0 \
+                and _crop_jpegtran(src_fpath, dst, x, y, cs):
             n += 1
             continue
         crop = img[y:y + cs, x:x + cs]

@@ -86,6 +86,15 @@ class LayeredArgumentParser(argparse.ArgumentParser):
             opt = tok.split("=", 1)[0]
             if opt in opt_map:
                 explicit.add(opt_map[opt])
+            elif opt.startswith("--") and len(opt) > 2:
+                # argparse accepts unambiguous long-option ABBREVIATIONS
+                # (--whole for --whole_image); an abbreviation the exact
+                # map misses would let a config layer silently override a
+                # value the user explicitly typed
+                hits = {opt_map[o] for o in opt_map
+                        if o.startswith("--") and o.startswith(opt)}
+                if len(hits) == 1:
+                    explicit.add(hits.pop())
         return explicit
 
     def parse_args(self, args=None, namespace=None):  # type: ignore[override]

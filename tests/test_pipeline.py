@@ -286,3 +286,19 @@ def test_denoise_cli_compute_dtype_int8_serial_and_batch(tmp_path,
     # and the quantized paths are actually different programs from f32
     assert any((outs["q_serial"][n] != outs["f32"][n]).any()
                for n in outs["f32"])
+
+
+def test_missing_xmp_skips_file_not_crash(tmp_path, tiny_checkpoint):
+    """A RAW whose .xmp sidecar is missing must be SKIPPED with a message
+    (hardening over the reference, which crashes the directory run inside
+    the history parser once the RAW alone passes the good-file check)."""
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    raw = tmp_path / "shot.nef"
+    raw.write_bytes(b"not really a nef")
+    ns = denoise_cli.build_parser().parse_args(
+        [str(raw), "-o", str(tmp_path), "--model_path", tiny_checkpoint,
+         "--dt", "/bin/true"])  # a darktable stand-in so the RAW path runs
+    out = denoise_cli.denoise_file(ns, raw)
+    assert out is None  # skipped, no exception, nothing written
+    assert not list(tmp_path.glob("*.jpg"))

@@ -299,3 +299,32 @@ def test_calibrate_int8_rejects_odd_calibration_sizes():
     calib = jnp.zeros((2, 135, 135, 3), jnp.float32)
     with pytest.raises(ValueError, match="even-sized"):
         UtNet.calibrate_int8(params, derived, calib)
+
+
+def test_engine_recalibrate_int8_per_image():
+    """TileEngine.recalibrate_int8 (round 3): a directory-memoized
+    int8_static engine swaps content-matched activation scales per image —
+    same weights, same compiled programs (the scales are traced leaves) —
+    so the pipeline CLI's fast path gets the calib_from_image quality win.
+    Must no-op (False) on non-int8 engines."""
+    from nind_denoise_tpu.engine.tile_engine import make_engine
+
+    params = UtNet.init(jax.random.PRNGKey(3), funit=8)
+    eng = make_engine("UtNet", params, cs=136, ucs=112,
+                      compute_dtype="int8_static")
+    rng = np.random.default_rng(0)
+    dim = (rng.random((150, 160, 3)).astype(np.float32) * 0.06)
+    ref = eng.denoise_raw(dim, 1.0, out_dtype="float32")  # synthetic scales
+    assert eng.recalibrate_int8(dim) is True
+    out = eng.denoise_raw(dim, 1.0, out_dtype="float32")
+    # independent oracle: the exact fp32 forward through the same engine
+    eng32 = make_engine("UtNet", params, cs=136, ucs=112,
+                        compute_dtype="float32", precision="float32")
+    exact = eng32.denoise_raw(dim, 1.0, out_dtype="float32")
+    p_syn, p_img = _psnr(ref, exact), _psnr(out, exact)
+    # measured 65.4 vs 62.5 dB on this fixture (the engine's bf16 tile I/O
+    # caps the gain below the forward-level +12 dB of the fp32 fixture)
+    assert p_img >= p_syn + 2.0, (p_img, p_syn)
+
+    bf = make_engine("UtNet", params, cs=136, ucs=112)
+    assert bf.recalibrate_int8(dim) is False

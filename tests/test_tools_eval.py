@@ -88,13 +88,25 @@ def test_denoise_dir_end_to_end(scene_dir, tmp_path, devices):
         "--network", "UtNet", "--cs", "104", "--ucs", "88",
         "--noisy_dir", scene_dir,
         "--result_dir", str(tmp_path / "results"),
-        "--batch_size", "2", "--no_scoring", "--devices", devices,
+        "--batch_size", "2", "--devices", devices,
     ])
     assert set(overall) == {"mse", "ssim", "msssim"}
     assert all(np.isfinite(v) for v in overall.values())
     # results recorded next to the checkpoint
     assert (ckpt_dir / "trainres.json").is_file()
     assert (ckpt_dir / "testres.json").is_file()
+
+    # --no_scoring actually skips scoring (round-3 fix: it previously still
+    # paid — and could crash on — the baseline comparison per image)
+    overall2 = denoise_dir.main([
+        "--model_path", str(ckpt_dir / "generator_5.npz"),
+        "--network", "UtNet", "--cs", "104", "--ucs", "88",
+        "--noisy_dir", scene_dir,
+        "--result_dir", str(tmp_path / "results2"),
+        "--batch_size", "2", "--no_scoring", "--devices", devices,
+    ])
+    assert overall2 == {}
+    assert os.listdir(tmp_path / "results2")  # outputs still written
 
 
 def test_grapher(tmp_path):

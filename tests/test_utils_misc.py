@@ -214,3 +214,39 @@ def test_bench_wait_for_backend_paths(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", probe_never)
     assert bench.wait_for_backend(budget_s=0) is False
+
+
+def test_layered_parser_marks_abbreviated_options_explicit(tmp_path):
+    """argparse accepts unambiguous long-option abbreviations; the layered
+    config must treat those as CLI-explicit too, or a yaml layer silently
+    overrides a value the user typed (round-3 review)."""
+    import yaml
+
+    from nind_denoise_tpu.utils.conf import LayeredArgumentParser
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(yaml.safe_dump({"batch_size": 7}))
+    p = LayeredArgumentParser()  # --config/--config2 are built in
+    p.add_argument("--batch_size", type=int, default=1)
+    ns = p.parse_args(["--batch", "3", "--config", str(cfg)])
+    assert ns.batch_size == 3  # CLI abbreviation beats the config layer
+    ns2 = p.parse_args(["--config", str(cfg)])
+    assert ns2.batch_size == 7  # config still beats the default
+
+
+def test_bench_baseline_cache_rejects_other_host(tmp_path, monkeypatch):
+    """vs_baseline ratios must never be computed against another machine's
+    torch-CPU numbers: a migrated container discards the cache and
+    re-measures (same hazard class as utils/jaxcache._host_tag)."""
+    import json
+
+    import bench
+
+    cache_file = tmp_path / "bench_baseline.json"
+    monkeypatch.setattr(bench, "BASELINE_CACHE", str(cache_file))
+    bench._save_baseline_cache({"cpu_mps": 1.23})
+    assert bench._load_baseline_cache()["cpu_mps"] == 1.23
+    blob = json.load(open(cache_file))
+    blob["host"] = "someone-elses-cpu"
+    json.dump(blob, open(cache_file, "w"))
+    assert bench._load_baseline_cache() == {}
