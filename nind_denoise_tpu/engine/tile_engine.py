@@ -111,7 +111,7 @@ class TileEngine:
         """Read-only: see the immutability invariant in __init__."""
         return self._params
 
-    def recalibrate_int8(self, img01_hwc) -> bool:
+    def recalibrate_int8(self, img_hwc, scale: float = 1.0) -> bool:
         """int8_static engines only: re-derive the static activation scales
         on crops of THIS image (ops/qconv.calib_from_image) and swap them
         into the device-resident params bundle — content-matched scales are
@@ -130,7 +130,9 @@ class TileEngine:
             return False
         from ..ops.qconv import calib_from_image
 
-        bundle = recal(calib_from_image(np.asarray(img01_hwc, np.float32)))
+        # storage-dtype input + scale: only the calibration crops pay the
+        # fp32 normalize, not the whole image (raw-dtype fast-path rule)
+        bundle = recal(calib_from_image(np.asarray(img_hwc), scale=scale))
         with self._placement():
             self._params = jax.device_put(bundle, self._device)
         return True

@@ -107,7 +107,7 @@ def calib_tiles(size: int = 136, seed: int = 0):
     return jnp.asarray(tiles)
 
 
-def calib_from_image(img01, size: int = 136):
+def calib_from_image(img01, size: int = 136, scale: float = 1.0):
     """Calibration batch drawn from the ACTUAL image being denoised
     (denoise_image_cli does this for ``--compute_dtype int8_static``):
     the four corner crops, the center crop, and the crop centered on the
@@ -117,11 +117,14 @@ def calib_from_image(img01, size: int = 136):
     range — synthetic extremal tiles overestimate scales on dim content
     and waste int8 codes (tests/test_qconv.py measures the win).
 
-    ``img01``: (H, W, 3) float array in [0, 1]; reflect-padded up to
-    ``size`` when smaller. Returns (6, size, size, 3) f32."""
+    ``img01``: (H, W, 3) array in [0, 1] — or a storage-dtype raw with
+    ``scale`` to divide by (only the six CROPS are normalized, so callers
+    on the raw-dtype fast path skip the full-image fp32 divide).
+    Reflect-padded up to ``size`` when smaller. Returns (6, size, size, 3)
+    f32."""
     import numpy as np
 
-    img01 = np.asarray(img01, np.float32)
+    img01 = np.asarray(img01)
     h, w = img01.shape[:2]
     if h < size or w < size:
         img01 = np.pad(img01, ((0, max(0, size - h)), (0, max(0, size - w)),
@@ -132,7 +135,8 @@ def calib_from_image(img01, size: int = 136):
     iy, ix = np.unravel_index(np.argmax(img01.sum(axis=2)), (h, w))
     ys.append(int(np.clip(iy - size // 2, 0, h - size)))
     xs.append(int(np.clip(ix - size // 2, 0, w - size)))
-    crops = [img01[y:y + size, x:x + size] for y, x in zip(ys, xs)]
+    crops = [img01[y:y + size, x:x + size].astype(np.float32) / scale
+             for y, x in zip(ys, xs)]
     return jnp.asarray(np.stack(crops))
 
 

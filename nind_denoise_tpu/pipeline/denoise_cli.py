@@ -232,13 +232,13 @@ def _denoise_to_array(mcfg: dict, in_fpath: pathlib.Path, args):
         # single forward (TileEngine.denoise_tiny), still device-resident
         engine = _get_engine(mcfg, args, cs=None, ucs=None)
         if args.compute_dtype == "int8_static":
-            engine.recalibrate_int8(raw.astype(np.float32) / scale)
+            engine.recalibrate_int8(raw, scale)
         return engine.denoise_tiny(raw, scale, out_dtype="device")
     engine = _get_engine(mcfg, args, cs=cs, ucs=ucs)
     if args.compute_dtype == "int8_static":
         # content-match the memoized engine's static scales to THIS image
         # (scales are traced leaves — no recompile; engine docstring)
-        engine.recalibrate_int8(raw.astype(np.float32) / scale)
+        engine.recalibrate_int8(raw, scale)
     return engine.denoise_raw(raw, scale, out_dtype="device")
 
 

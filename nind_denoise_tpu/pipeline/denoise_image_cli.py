@@ -299,15 +299,15 @@ def run(args) -> str:
                            debug_dir="dbg" if args.debug else None,
                            resolved=resolved)
 
-    def calib_resolved(get_img01_hwc):
+    def calib_resolved(get_img_hwc, scale: float = 1.0):
         """int8_static: calibrate the static scales on crops of the ACTUAL
         input (qconv.calib_from_image) instead of the synthetic extremal
         set — content-matched scales digitize the image's real dynamic
         range (the win is measured in tests/test_qconv.py).
 
-        ``get_img01_hwc`` is a THUNK so the default (non-int8) path never
-        pays the full-image host fp32 normalize the raw-dtype feed exists
-        to skip."""
+        ``get_img_hwc`` is a THUNK so the default (non-int8) path pays
+        nothing; with a storage-dtype array + ``scale``, only the six
+        calibration crops are normalized (raw-dtype fast-path rule)."""
         if args.compute_dtype != "int8_static":
             return None
         from ..engine.tile_engine import resolve_apply_fn
@@ -315,7 +315,8 @@ def run(args) -> str:
 
         return resolve_apply_fn(args.g_network, params, activation,
                                 compute_dtype="int8_static",
-                                calib=calib_from_image(get_img01_hwc()))
+                                calib=calib_from_image(get_img_hwc(),
+                                                       scale=scale))
 
     start_time = time.time()
     if args.whole_image:
@@ -331,7 +332,7 @@ def run(args) -> str:
         # divide + transpose, and uint16 uploads are exact vs the f32->f16
         # wire cast)
         raw, scale = imgio.load_img_raw(args.input)
-        resolved = calib_resolved(lambda: raw.astype(np.float32) / scale)
+        resolved = calib_resolved(lambda: raw, scale)
         try:
             cs, ucs = _adapt_tiles(args, raw.shape[0], raw.shape[1])
             engine = build_engine(cs, ucs, resolved=resolved)

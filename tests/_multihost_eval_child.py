@@ -35,8 +35,10 @@ assert pmesh.init_distributed(coordinator=coordinator,
 
 from nind_denoise_tpu.eval import denoise_dir
 
+# scoring ON: the cross-process metric merge is exactly what this child
+# exercises (--no_scoring now genuinely skips scoring, round-3 fix)
 overall = denoise_dir.main(["--noisy_dir", noisy_dir, "--model_path", ckpt,
                             "--network", "UtNet", "--result_dir", result_dir,
-                            "--no_scoring", "--batch_size", "2"])
+                            "--batch_size", "2"])
 print(f"MULTIHOST_EVAL_OK proc={proc_id} "
       f"mse={overall['mse']:.8f} msssim={overall['msssim']:.8f}", flush=True)

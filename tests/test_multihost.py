@@ -152,7 +152,8 @@ def test_eval_two_process_pod(tmp_path):
         d = noisy / scene
         d.mkdir(parents=True)
         for iso in (100, 400, 800, 1600):  # ISO100 = baseline (excluded)
-            img = rng.integers(0, 65536, (64, 72, 3), dtype=np.uint16)
+            # >= 162 px: real scoring runs in the child (MS-SSIM min size)
+            img = rng.integers(0, 65536, (176, 200, 3), dtype=np.uint16)
             cv2.imwrite(str(d / f"NIND_{scene}_ISO{iso}.png"), img[..., ::-1])
             n_noisy += iso != 100
     ckpt = str(ckpt_dir / "generator_3.npz")

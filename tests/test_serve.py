@@ -406,3 +406,44 @@ def test_sigterm_drains_and_exits_cleanly(tmp_path):
     finally:
         if p.poll() is None:
             p.kill()
+
+
+def test_fuzz_requests_never_hang_server(server):
+    """Adversarial request soup — random binary bodies, bogus query params,
+    wrong methods, huge declared lengths — must all produce an HTTP
+    response (4xx/5xx fine) and leave the service healthy. No request may
+    hang the single-dispatcher queue."""
+    import http.client
+    import random as _random
+
+    svc, url = server
+    host, port = url.rsplit(":", 1)[0].replace("http://", ""), int(url.rsplit(":", 1)[1])
+    rng = _random.Random(0)
+    for i in range(12):
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        try:
+            kind = i % 4
+            if kind == 0:  # random junk body
+                body = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 2048)))
+                conn.request("POST", "/denoise?output=jpg", body=body)
+            elif kind == 1:  # bogus query params
+                conn.request("POST", "/denoise?output=exe&quality=-3&sigma=zz",
+                             body=b"\x89PNG\r\n\x1a\nnot-actually-png")
+            elif kind == 2:  # wrong method / path
+                conn.request("PUT" if i % 2 else "DELETE",
+                             "/" + "x" * rng.randint(1, 64))
+            else:  # declared length larger than the sent body (short body)
+                conn.putrequest("POST", "/denoise")
+                conn.putheader("Content-Length", "64")
+                conn.endheaders()
+                conn.send(b"short")
+            r = conn.getresponse()
+            assert 200 <= r.status < 600
+            r.read()
+        except (http.client.HTTPException, OSError):
+            pass  # connection-level rejection is acceptable; hanging is not
+        finally:
+            conn.close()
+    # service still healthy afterwards
+    with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
