@@ -703,9 +703,14 @@ class AdaptiveEngine:
                                              raw_hwc.shape[1],
                                              self.cs, self.ucs,
                                              check=self._check)
+            eng, method = self._engine_for(cs, ucs), "denoise_raw"
         except tiles_mod.TilingError:
             # below the minimum tiling: pad-to-valid single forward
-            return self._tiny_engine().denoise_tiny(raw_hwc, scale,
-                                                    out_dtype=out_dtype)
-        return self._engine_for(cs, ucs).denoise_raw(raw_hwc, scale,
-                                                     out_dtype=out_dtype)
+            eng, method = self._tiny_engine(), "denoise_tiny"
+        if self._kw.get("compute_dtype") == "int8_static":
+            # content-match the static scales to THIS request (traced
+            # leaves — no recompile): every surface riding AdaptiveEngine
+            # (serve single + pool replicas, the dir straggler pool) gets
+            # the per-image calibration win automatically
+            eng.recalibrate_int8(raw_hwc, scale)
+        return getattr(eng, method)(raw_hwc, scale, out_dtype=out_dtype)

@@ -328,3 +328,24 @@ def test_engine_recalibrate_int8_per_image():
 
     bf = make_engine("UtNet", params, cs=136, ucs=112)
     assert bf.recalibrate_int8(dim) is False
+
+
+def test_adaptive_engine_recalibrates_per_request():
+    """AdaptiveEngine (serve single + pool replicas, the dir straggler
+    pool) auto-recalibrates int8_static scales per request: its output must
+    equal a TileEngine explicitly recalibrated on the same image."""
+    from nind_denoise_tpu.engine.tile_engine import AdaptiveEngine, make_engine
+
+    params = UtNet.init(jax.random.PRNGKey(3), funit=8)
+    rng = np.random.default_rng(1)
+    dim = (rng.random((150, 160, 3)).astype(np.float32) * 0.06)
+
+    ae = AdaptiveEngine("UtNet", params, cs=136, ucs=112,
+                        compute_dtype="int8_static")
+    got = np.asarray(ae.denoise_raw(dim, 1.0, out_dtype="float32"))
+
+    eng = make_engine("UtNet", params, cs=136, ucs=112,
+                      compute_dtype="int8_static")
+    eng.recalibrate_int8(dim)
+    want = np.asarray(eng.denoise_raw(dim, 1.0, out_dtype="float32"))
+    np.testing.assert_allclose(got, want, atol=1e-6)
