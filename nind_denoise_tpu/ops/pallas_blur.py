@@ -27,8 +27,15 @@ Falls back to interpret mode off-TPU (tests run it on CPU).
 STATUS (measured on the target v5e chip, 6 MP, RL sigma=1 x10 iterations):
 ``rl_deblur_pallas_fused`` — one pallas_call per RL iteration, grid over
 channels only, double-buffered band DMA in/out, both blurs + ratio +
-multiply fused in VMEM — runs **267.8 MP/s vs 118.4 MP/s** for the XLA
-path (2.26x; on-chip parity 3.7e-6 rel). The round-1 blur-per-call layout
+multiply fused in VMEM, and (round 3) the EXT-LAYOUT carry: the kernel
+reads AND writes the padded layout with in-kernel edge replication, so the
+RL loop has zero XLA pad/slice glue between iterations. On-chip
+interleaved A/B, per-iteration slope method (t(50it) - t(10it))/40 so the
+~25 ms axon RPC cancels: **0.72 ms/iter vs 1.12 ms/iter** for the round-2
+re-pad layout (1.56x; bit-identical means at 10 iters), i.e. ~836 MP/s
+slope-based 10-iter RL vs 533.8, and 2.26x over the XLA path before that.
+Remaining gap to the ~0.26 ms/iter HBM floor (3 image transfers/iter) is
+the 6 in-kernel VPU transposes per band. The round-1 blur-per-call layout
 measured 160 MP/s: its remaining cost was per-program overhead (~60 us x
 48 programs/blur x 20 blurs), which the in-kernel band loop amortizes to
 3 programs/iteration. ``rl_deblur(impl='auto')`` (the product default)
@@ -82,9 +89,11 @@ _TEMP_FACTOR = 2.5
 
 def _fused_scratch_bytes(bh: int, r: int, w: int) -> int:
     halo2 = _round_up(2 * r, 8)
-    w_out = _round_up(w, 128)
-    w_in = w_out + 128
-    return 2 * ((bh + 2 * halo2) * w_in * 2 + bh * w_out) * 4
+    w_in = _round_up(w, 128) + 128
+    # double-buffered u/d in + out bands (all w_in wide since round 3's
+    # ext-layout output) + the two single-shot halo-replicate buffers
+    return (2 * ((bh + 2 * halo2) * w_in * 2 + bh * w_in)
+            + 2 * halo2 * w_in) * 4
 
 
 def _fused_vmem_estimate(bh: int, r: int, w: int) -> int:
@@ -215,7 +224,8 @@ def _gauss_blur_planar(img_chw: jnp.ndarray, sigma: float = 1.0,
     return out[:, :h, :w]
 
 
-def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, sem_u, sem_d, sem_o, *,
+def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, st, sb,
+                    sem_u, sem_d, sem_o, sem_t, sem_b, *,
                     taps: Tuple[float, ...], band_h: int, halo2: int,
                     h: int, w: int, w_out: int, n_bands: int):
     """One full RL iteration for one channel: u <- u * blur(d / blur(u)).
@@ -225,6 +235,15 @@ def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, sem_u, sem_d, sem_o, *,
     3x per iteration instead of 3 x n_bands x 2 (the blur-per-call layout).
     All shifted accesses are static sublane slices; the horizontal passes
     transpose in VMEM (sublane-major discipline of the band blur above).
+
+    Round-3 ext-layout output: the kernel READS u in the padded ext layout
+    (rows/cols edge-replicated, lanes rounded to w_in) and also WRITES its
+    output in that same layout — main bands carry the left/right column
+    replicas in-row, the tail band re-replicates rows past h-1, and two
+    single-shot DMAs fill the top/bottom row halos. The RL loop therefore
+    carries the ext array across iterations with NO XLA pad/slice between
+    kernel calls, saving ~2 full-image HBM transfers per iteration that the
+    round-2 layout spent re-padding in XLA.
 
     Exactness at the borders: the lax path (ops/rl_deblur._blur) edge-
     replicates the *intermediate* ratio, which differs from blurring a
@@ -246,7 +265,7 @@ def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, sem_u, sem_d, sem_o, *,
 
     def out_dma(slot, i):
         return pltpu.make_async_copy(
-            so.at[slot], o_hbm.at[c, pl.ds(i * band_h, band_h), :],
+            so.at[slot], o_hbm.at[c, pl.ds(halo2 + i * band_h, band_h), :],
             sem_o.at[slot])
 
     in_dma(su, u_hbm, sem_u, 0, 0).start()
@@ -310,18 +329,58 @@ def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, sem_u, sem_d, sem_o, *,
         for k in range(1, len(taps)):
             corr_t = corr_t + taps[k] * cvt[k:k + w_out, :]
         u_t = su_s[halo2:halo2 + band_h, :].T[2 * r:2 * r + w_out, :]
+        newu_t = u_t * corr_t                        # (w_out, band_h); row j = abs col j
+        # --- ext-layout reassembly, transposed (cols = sublanes) ---
+        # garbage cols >= w -> replicate col w-1, then prepend/append the
+        # 2r-left / (128-2r)-right replicate runs so the block is w_in wide
+        # and the next iteration can read it with NO XLA re-pad.
+        w_in = w_out + 128
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (w_out, band_h), 0)
+        newu_t = jnp.where(iota_c >= w, newu_t[w - 1:w, :], newu_t)
+        left = jnp.broadcast_to(newu_t[0:1, :], (2 * r, band_h))
+        right = jnp.broadcast_to(newu_t[w - 1:w, :], (128 - 2 * r, band_h))
+        blk = jnp.concatenate([left, newu_t, right], axis=0).T  # (band_h, w_in)
+        # tail-band rows past h-1 -> replicate of abs row h-1. The mask can
+        # only fire in the LAST band (i*band_h + band_h - 1 > h-1 implies
+        # i == n_bands-1 since hb = ceil(h/band_h)*band_h), so the static
+        # last-band source slot is safe for every band.
+        src_last = h - 1 - (n_bands - 1) * band_h
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (band_h, w_in), 0)
+        blk = jnp.where(iota_b + i * band_h > h - 1,
+                        blk[src_last:src_last + 1, :], blk)
 
         @pl.when(i >= 2)
         def _():
             out_dma(s, i - 2).wait()                 # slot free to rewrite
 
-        so[s] = (u_t * corr_t).T                     # (band_h, w_out)
+        so[s] = blk                                  # (band_h, w_in)
         out_dma(s, i).start()
+
+        # single-shot row-halo replicates (ext rows [0, halo2) and
+        # [halo2 + hb, hb + 2*halo2)); exactly one start each per program,
+        # matched by the unconditional waits after the loop
+        @pl.when(i == 0)
+        def _():
+            st[:] = jnp.broadcast_to(blk[0:1, :], (halo2, w_in))
+            pltpu.make_async_copy(
+                st, o_hbm.at[c, pl.ds(0, halo2), :], sem_t).start()
+
+        @pl.when(i == n_bands - 1)
+        def _():
+            sb[:] = jnp.broadcast_to(blk[src_last:src_last + 1, :],
+                                     (halo2, w_in))
+            pltpu.make_async_copy(
+                sb, o_hbm.at[c, pl.ds(halo2 + n_bands * band_h, halo2), :],
+                sem_b).start()
 
     jax.lax.fori_loop(0, n_bands, body, None)
     for tail in (n_bands - 2, n_bands - 1):
         if tail >= 0:
             out_dma(jax.lax.rem(jnp.int32(tail), 2), tail).wait()
+    pltpu.make_async_copy(st, o_hbm.at[c, pl.ds(0, halo2), :], sem_t).wait()
+    pltpu.make_async_copy(
+        sb, o_hbm.at[c, pl.ds(halo2 + n_bands * band_h, halo2), :],
+        sem_b).wait()
 
 
 @functools.partial(jax.jit,
@@ -364,7 +423,8 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
         functools.partial(_rl_iter_kernel, taps=taps, band_h=band_h,
                           halo2=halo2, h=hh, w=ww, w_out=w_out,
                           n_bands=n_bands),
-        out_shape=jax.ShapeDtypeStruct((c, hb, w_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, hb + 2 * halo2, w_in),
+                                       jnp.float32),
         grid=(c,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -372,19 +432,26 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
         scratch_shapes=[
             pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
             pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
-            pltpu.VMEM((2, band_h, w_out), jnp.float32),
+            pltpu.VMEM((2, band_h, w_in), jnp.float32),
+            pltpu.VMEM((halo2, w_in), jnp.float32),
+            pltpu.VMEM((halo2, w_in), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )
 
-    def body(_, u):
-        return step(pad_ext(u), d_ext)[:, :hh, :ww]
-
-    out = jax.lax.fori_loop(0, iterations, body, d0)
-    return jnp.transpose(out, (1, 2, 0))
+    # the kernel both reads AND writes the ext layout, so the loop carries
+    # the padded array with zero XLA glue between iterations (the round-2
+    # body re-padded u in XLA every iteration: ~2 extra full-image HBM
+    # transfers + a slice, now paid once at entry/exit)
+    out = jax.lax.fori_loop(0, iterations, lambda _, u: step(u, d_ext),
+                            pad_ext(d0))
+    return jnp.transpose(out[:, halo2:halo2 + hh, 2 * r:2 * r + ww],
+                         (1, 2, 0))
 
 
 def gauss_blur_pallas(img_hwc: jnp.ndarray, sigma: float = 1.0,
