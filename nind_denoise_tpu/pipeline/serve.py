@@ -259,6 +259,10 @@ class DenoiseService:
                       iterations: int = 10, psf: str = "gaussian") -> bytes:
         import cv2
 
+        if output not in ("jpg", "jpeg", "png", "tiff"):
+            # reject BEFORE the denoise: a bad query param must not burn
+            # seconds of device time on work whose encode will 400 anyway
+            raise ValueError(f"unsupported output format {output!r}")
         arr = cv2.imdecode(np.frombuffer(data, np.uint8),
                            cv2.IMREAD_COLOR + cv2.IMREAD_ANYDEPTH)
         if arr is None:

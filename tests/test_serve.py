@@ -115,6 +115,22 @@ def test_bad_body_is_400(server):
     assert e.value.code == 400
 
 
+def test_bad_output_format_rejected_before_denoise(server):
+    """An unsupported ``output`` query param must 400 WITHOUT burning device
+    time: the megapixels counter (bumped inside the denoise work fn) must
+    not move."""
+    svc, base = server
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, (64, 64, 3), dtype=np.uint16)
+    mp_before = svc.snapshot_stats()["megapixels"]
+    req = urllib.request.Request(base + "/denoise?output=exe",
+                                 data=_png_bytes(img), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    assert svc.snapshot_stats()["megapixels"] == mp_before
+
+
 def test_small_image_served(server):
     """A request smaller than the tile size must still succeed (single-tile
     plan; the per-request adapt_cs_ucs guard keeps even the 504/480
