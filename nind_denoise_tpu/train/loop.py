@@ -117,6 +117,24 @@ def build_parser():
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the generator forward (save HBM)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each batch into N sequential microbatches and "
+                        "apply ONE averaged update (exact same optimizer "
+                        "trajectory, ~1/N the activation memory): train the "
+                        "reference's bs=30 configs, or larger, on chips whose "
+                        "HBM cannot hold the full batch. Must divide "
+                        "--batch_size")
+    p.add_argument("--log_interval", type=int, default=1,
+                   help="print per-batch generator losses every N batches "
+                        "(1 = reference parity). N>1 also DEFERS the "
+                        "device->host metric readback between prints: on a "
+                        "high-latency link each float(loss) readback "
+                        "serializes dispatch against the ~25 ms RPC, so "
+                        "deferring lets successive steps pipeline (epoch "
+                        "means stay exact via a device-side accumulator). "
+                        "Per-batch D losses still read back when "
+                        "discriminators are active (their stochastic "
+                        "scheduling is host-side by design)")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--cache_images", action="store_true",
                    help="decode training crops once and serve from RAM "
@@ -560,13 +578,17 @@ def main(argv=None):
     for d in discs:
         _slots[0 if d.wname == "D1" else 1] = d.pred_fn
     disc_apply_fns = tuple(_slots)
+    if args.grad_accum > 1 and args.batch_size % args.grad_accum:
+        sys.exit(f"error: --grad_accum {args.grad_accum} must divide "
+                 f"--batch_size {args.batch_size}")
     train_step = steps.make_generator_train_step(
         apply_fn, gen.optimizer, weights, args.loss_cs,
         compute_ssim_anyway=args.compute_SSIM_anyway, remat=args.remat,
-        disc_apply_fns=disc_apply_fns, stateful=stateful)
+        disc_apply_fns=disc_apply_fns, stateful=stateful,
+        grad_accum=args.grad_accum)
     warmup_step = steps.make_generator_train_step(
         apply_fn, gen.optimizer, {"MSE": 1.0}, args.loss_cs,
-        remat=args.remat, stateful=stateful) \
+        remat=args.remat, stateful=stateful, grad_accum=args.grad_accum) \
         if args.msssim_warmup_epochs > 0 else None
     eval_fwd = (lambda params, x, ms: net.apply(params, x, ms, train=False)) \
         if stateful else apply_fn
@@ -618,8 +640,12 @@ def main(argv=None):
     shutdown = GracefulShutdown()
     shutdown.install()
     try:
+        defer_metrics = args.log_interval > 1
         for epoch in range(args.start_epoch, args.epochs):
             loss_g, loss_g_ssim = [], []
+            # deferred-readback mode: exact epoch means via device-side sums
+            # (one tiny add dispatched per batch, TWO readbacks per epoch)
+            g_w_sum, g_ssim_sum, g_count, g_ssim_count = 0.0, 0.0, 0, 0
             loss_d_lists = [[] for _ in discs]
             epoch_start = time.time()
             batches_done = 0
@@ -671,15 +697,32 @@ def main(argv=None):
                         else train_step
                     gen.state, metrics = active_step(gen.state, clean, noisy,
                                                      disc_params)
-                    gen.loss = {k: float(v) for k, v in metrics.items()}
-                    loss_g.append(gen.loss["weighted"])
-                    if "SSIM" in gen.loss:
-                        loss_g_ssim.append(gen.loss["SSIM"])
-                    summary += f"loss G: {gen.get_loss(pretty_printed=True)}"
+                    if defer_metrics:
+                        # device-side accumulation: float(loss) forces a
+                        # host readback that serializes the NEXT dispatch
+                        # against the link's RPC latency; defer it so
+                        # successive steps pipeline (--log_interval help)
+                        g_w_sum = g_w_sum + metrics["weighted"]
+                        g_count += 1
+                        if "SSIM" in metrics:
+                            g_ssim_sum = g_ssim_sum + metrics["SSIM"]
+                            g_ssim_count += 1
+                        if iteration % args.log_interval == 0:
+                            gen.loss = {k: float(v) for k, v in metrics.items()}
+                            summary += (f"loss G: "
+                                        f"{gen.get_loss(pretty_printed=True)}")
+                    else:
+                        gen.loss = {k: float(v) for k, v in metrics.items()}
+                        loss_g.append(gen.loss["weighted"])
+                        if "SSIM" in gen.loss:
+                            loss_g_ssim.append(gen.loss["SSIM"])
+                        summary += f"loss G: {gen.get_loss(pretty_printed=True)}"
                 elif frozen_generator and discs:
                     frozen_generator = discs[0].loss > 0.33 and \
                         (len(discs) < 2 or discs[1].loss > 0.33)
-                p.print(summary)
+                if not defer_metrics or iteration % args.log_interval == 0 \
+                        or any(d_learns):
+                    p.print(summary)
                 batches_done = iteration
 
             if shutdown.requested:
@@ -716,6 +759,12 @@ def main(argv=None):
                 test_loss = test_generator(gen, test_set, test_dir(epoch))
                 jsonsaver.add_res(epoch, {"test_loss": test_loss}, write=False)
 
+            if defer_metrics and g_count:
+                # exact epoch means (same sums the per-batch lists hold in
+                # parity mode), materialized with two readbacks
+                loss_g = [float(g_w_sum) / g_count]
+                if g_ssim_count:
+                    loss_g_ssim = [float(g_ssim_sum) / g_ssim_count]
             p.print(f"Epoch {epoch} summary:")
             p.print("Time elapsed (s): %u (epoch), %u (total)"
                     % (time.time() - epoch_start, time.time() - start_time))

@@ -106,7 +106,8 @@ def make_generator_train_step(apply_fn: Callable, optimizer, weights: Dict[str, 
                               loss_cs: int, compute_ssim_anyway: bool = False,
                               remat: bool = False,
                               disc_apply_fns: Tuple[Optional[Callable], ...] = (None, None),
-                              donate: bool = True, stateful: bool = False):
+                              donate: bool = True, stateful: bool = False,
+                              grad_accum: int = 1):
     """Returns jitted ``step(state, clean, noisy, disc_states) ->
     (state, metrics)``. ``disc_apply_fns[i](params_i, state_i, fake_nhwc)``
     returns discriminator predictions for the D1/D2 fooling terms.
@@ -114,6 +115,17 @@ def make_generator_train_step(apply_fn: Callable, optimizer, weights: Dict[str, 
     ``stateful=True`` expects ``apply_fn(params, x, model_state) ->
     (y, new_model_state)`` (UNet's BatchNorm threading); otherwise
     ``apply_fn(params, x) -> y``.
+
+    ``grad_accum=N`` (N must divide the batch) computes the SAME update as
+    the plain step but with activations for only batch/N samples live at a
+    time: the batch splits into N contiguous microbatches, a ``lax.scan``
+    accumulates their gradients (and, for stateful nets, threads the BN
+    state sequentially), and ONE optimizer update applies their mean.
+    Every per-batch loss above is a mean over equal-size microbatches, so
+    the mean of microbatch gradients equals the full-batch gradient up to
+    fp32 reassociation (pinned by tests/test_train.py). This is how the
+    reference's 8-GB-GPU batch guidance (src/nind_denoise/README.md:123)
+    scales past a chip's HBM — the reference itself has no equivalent.
     """
     weights = normalize_weights(weights)
     fwd = jax.checkpoint(apply_fn) if remat else apply_fn
@@ -140,6 +152,9 @@ def make_generator_train_step(apply_fn: Callable, optimizer, weights: Dict[str, 
         metrics["weighted"] = total
         return total, (metrics, new_ms)
 
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, clean, noisy, disc_params=(None, None)):
         (_, (metrics, new_ms)), grads = jax.value_and_grad(
@@ -149,7 +164,47 @@ def make_generator_train_step(apply_fn: Callable, optimizer, weights: Dict[str, 
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, new_ms), metrics
 
-    return step
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step_accum(state: TrainState, clean, noisy, disc_params=(None, None)):
+        b = clean.shape[0]
+        if b % grad_accum:
+            raise ValueError(f"grad_accum={grad_accum} must divide the "
+                             f"batch size {b}")
+        mb = b // grad_accum
+        # (N, mb, H, W, C) contiguous microbatches; scan keeps ONE
+        # microbatch's fwd+bwd activations live at a time
+        clean_m = clean.reshape((grad_accum, mb) + clean.shape[1:])
+        noisy_m = noisy.reshape((grad_accum, mb) + noisy.shape[1:])
+
+        def micro(carry, xs):
+            g_sum, m_sum, ms = carry
+            c_i, n_i = xs
+            (_, (metrics, new_ms)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, ms, c_i, n_i,
+                                       disc_params)
+            g_sum = jax.tree_util.tree_map(jnp.add, g_sum, grads)
+            m_sum = {k: m_sum[k] + metrics[k] for k in m_sum}
+            return (g_sum, m_sum, new_ms), None
+
+        zeros_like_tree = lambda t: jax.tree_util.tree_map(
+            jnp.zeros_like, t)
+        # metric keys are static (weights/disc_apply_fns close over them):
+        # probe with per-microbatch shapes via eval_shape to build the sums
+        probe = jax.eval_shape(loss_fn, state.params, state.model_state,
+                               clean_m[0], noisy_m[0], disc_params)[1][0]
+        m0 = {k: jnp.zeros((), jnp.float32) for k in probe}
+        (g_sum, m_sum, new_ms), _ = jax.lax.scan(
+            micro, (zeros_like_tree(state.params), m0, state.model_state),
+            (clean_m, noisy_m))
+        inv = 1.0 / grad_accum
+        grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+        metrics = {k: v * inv for k, v in m_sum.items()}
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, new_ms), metrics
+
+    return step_accum if grad_accum > 1 else step
 
 
 def make_generator_eval_step(apply_fn: Callable, weights: Dict[str, float],

@@ -538,3 +538,121 @@ def test_d2_only_gan_reaches_generator_and_checkpoints_as_d2(
     assert not any(f.startswith("discriminator_") for f in files), files
     log = open(os.path.join(exp, "train.log")).read()
     assert "loss D2" in log
+
+
+def test_grad_accum_matches_full_batch_update():
+    """--grad_accum N computes the SAME optimizer update as the plain step:
+    every per-batch loss is a mean, so the mean of equal-size microbatch
+    gradients equals the full-batch gradient up to fp32 reassociation.
+    One step on identical inputs; params and metrics must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from nind_denoise_tpu.models.utnet import UtNet
+    from nind_denoise_tpu.train import steps
+
+    rng = np.random.default_rng(1)
+    clean = rng.random((4, 104, 104, 3), dtype=np.float32)
+    noisy = np.clip(clean + rng.normal(0, 0.1, clean.shape), 0, 1
+                    ).astype(np.float32)
+    params = UtNet.init(jax.random.PRNGKey(0), funit=2)
+    apply_fn = lambda p, x: UtNet.apply_fast(p, x)
+    opt = steps.make_optimizer(lr=1e-3, beta1=0.9)
+
+    def run(ga):
+        p0 = jax.tree_util.tree_map(jnp.array, params)
+        st = steps.TrainState(p0, opt.init(p0))
+        step = steps.make_generator_train_step(
+            apply_fn, opt, {"MSE": 1.0, "SSIM": 1.0}, loss_cs=96,
+            grad_accum=ga, donate=False)
+        st, m = step(st, jnp.asarray(clean), jnp.asarray(noisy))
+        return st, m
+
+    s1, m1 = run(1)
+    for ga in (2, 4):
+        s2, m2 = run(ga)
+        assert np.isclose(float(m1["weighted"]), float(m2["weighted"]),
+                          rtol=1e-5), (ga, float(m1["weighted"]),
+                                       float(m2["weighted"]))
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5, atol=3e-7)
+
+
+def test_grad_accum_rejects_non_divisor():
+    import jax
+    import jax.numpy as jnp
+
+    from nind_denoise_tpu.models.utnet import UtNet
+    from nind_denoise_tpu.train import steps
+
+    params = UtNet.init(jax.random.PRNGKey(0), funit=2)
+    opt = steps.make_optimizer(lr=1e-3, beta1=0.9)
+    st = steps.TrainState(params, opt.init(params))
+    step = steps.make_generator_train_step(
+        lambda p, x: UtNet.apply_fast(p, x), opt, {"MSE": 1.0}, loss_cs=96,
+        grad_accum=3, donate=False)
+    x = jnp.zeros((4, 104, 104, 3), np.float32)
+    with pytest.raises(ValueError, match="divide"):
+        step(st, x, x)
+
+
+def test_grad_accum_stateful_unet_threads_bn_state():
+    """grad_accum with a stateful net: the scan must thread BatchNorm state
+    sequentially through the microbatches (stats move away from init) and
+    the step must stay finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from nind_denoise_tpu.models.unet import UNet
+    from nind_denoise_tpu.train import steps
+
+    params, bn = UNet.init(jax.random.PRNGKey(0), funit=2)
+    opt = steps.make_optimizer(lr=1e-3, beta1=0.9)
+    st = steps.TrainState(params, opt.init(params), bn)
+    step = steps.make_generator_train_step(
+        lambda p, x, ms: UNet.apply(p, x, ms, train=True), opt,
+        {"MSE": 1.0}, loss_cs=96, stateful=True, grad_accum=2, donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((4, 104, 104, 3), dtype=np.float32))
+    st2, m = step(st, x, x)
+    assert np.isfinite(float(m["weighted"]))
+    moved = np.abs(np.asarray(
+        jax.tree_util.tree_leaves(st2.model_state)[0])).max()
+    assert moved > 0
+
+
+@pytest.mark.slow
+def test_train_loop_grad_accum_and_log_interval(cropped_ds_104,
+                                                validation_yaml_104, tmp_path):
+    """CLI wiring: --grad_accum 2 --log_interval 4 must train, record exact
+    epoch means into trainres.json, and checkpoint normally (the deferred
+    device-side accumulator path)."""
+    import json
+
+    from nind_denoise_tpu.train import loop
+
+    models_dir = str(tmp_path / "models")
+    loop.main([
+        "--train_data", cropped_ds_104,
+        "--models_dpath", models_dir,
+        "--test_reserve", "0",
+        "--g_network", "UtNet", "--g_funit", "2",
+        "--cs", "104", "--loss_cs", "96",
+        "--weight_MSE", "1", "--weight_MSSSIM", "0",
+        "--batch_size", "2", "--epochs", "2", "--start_epoch", "1",
+        "--g_lr", "1e-3", "--beta1", "0.5", "--patience", "2",
+        "--reduce_lr_factor", "0.95", "--min_lr", "1e-9",
+        "--validation_set_yaml", validation_yaml_104,
+        "--threads", "1",
+        "--grad_accum", "2", "--log_interval", "4",
+    ])
+    exp = os.path.join(models_dir, os.listdir(models_dir)[0])
+    files = os.listdir(exp)
+    assert any(f.startswith("generator_") for f in files), files
+    res = json.load(open(os.path.join(exp, "trainres.json")))
+    vals = [v["train_weighted_loss"] for k, v in res.items()
+            if isinstance(v, dict) and "train_weighted_loss" in v
+            and k not in ("best_val", "best_epoch")]
+    assert vals and all(np.isfinite(v) for v in vals), res
