@@ -157,3 +157,36 @@ def test_dp_gan_discriminator_step(tiny_setup):
     after = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
     moved = max(np.abs(a - b).max() for a, b in zip(after, before))
     assert moved > 0, "no parameter moved in the DP discriminator step"
+
+
+@pytest.mark.slow  # >20 s on the 1-core host
+def test_dp_grad_accum_matches_single_device(tiny_setup):
+    """--grad_accum composes with the DP mesh: one accumulated step over 8
+    sharded devices == one plain step on the full batch, single device
+    (GSPMD reshards the (N, mb) microbatch view; the averaged update is
+    the same up to fp32 reassociation)."""
+    params, apply_fn, clean, noisy = tiny_setup
+    opt = steps.make_optimizer(1e-3, 0.5)
+    plain = steps.make_generator_train_step(apply_fn, opt, {"MSE": 1.0},
+                                            loss_cs=160, donate=False)
+    accum = steps.make_generator_train_step(apply_fn, opt, {"MSE": 1.0},
+                                            loss_cs=160, donate=False,
+                                            grad_accum=2)
+
+    s0 = steps.TrainState(params, opt.init(params))
+    s_single, m_single = plain(s0, jnp.asarray(clean), jnp.asarray(noisy))
+
+    mesh = pmesh.make_mesh(8)
+    s1 = steps.TrainState(params, opt.init(params))
+    s1 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, pmesh.replicated(mesh))
+        if hasattr(x, "shape") else x, s1)
+    c, n = pmesh.shard_batch(mesh, clean, noisy)
+    s_dp, m_dp = accum(s1, c, n)
+
+    np.testing.assert_allclose(float(m_dp["weighted"]),
+                               float(m_single["weighted"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-7)
