@@ -540,6 +540,7 @@ def test_d2_only_gan_reaches_generator_and_checkpoints_as_d2(
     assert "loss D2" in log
 
 
+@pytest.mark.slow  # multi-minute step compiles on the 1-core host
 def test_grad_accum_matches_full_batch_update():
     """--grad_accum N computes the SAME optimizer update as the plain step:
     every per-batch loss is a mean, so the mean of equal-size microbatch
@@ -598,6 +599,7 @@ def test_grad_accum_rejects_non_divisor():
         step(st, x, x)
 
 
+@pytest.mark.slow  # multi-minute step compiles on the 1-core host
 def test_grad_accum_stateful_unet_threads_bn_state():
     """grad_accum with a stateful net: the scan must thread BatchNorm state
     sequentially through the microbatches (stats move away from init) and
