@@ -325,6 +325,12 @@ def _collision_resolve(outpath: pathlib.Path,
 
 def denoise_file(args, input_path: pathlib.Path) -> Optional[pathlib.Path]:
     print(input_path)
+    from ..utils.log import StageTimers
+
+    # per-stage wall times (develop / denoise / stage2 / rl+encode / exif),
+    # printed under --verbose — the observability the reference's single
+    # elapsed-seconds print (denoise_image.py:282) does not give
+    timers = StageTimers()
     outpath = _initial_outpath(args, input_path)
 
     # darktable duplicate naming (--copy_num, denoise.py:342-350)
@@ -382,8 +388,10 @@ def denoise_file(args, input_path: pathlib.Path) -> Optional[pathlib.Path]:
             return None
         xmp.split_history(input_xmp, config=config, verbose=args.verbose)
         s1_fpath.unlink(missing_ok=True)
-        external.run_darktable_stage1(cmd_darktable, input_path,
-                                      input_xmp.with_suffix(".s1.xmp"), s1_fpath)
+        with timers.stage("develop"):
+            external.run_darktable_stage1(cmd_darktable, input_path,
+                                          input_xmp.with_suffix(".s1.xmp"),
+                                          s1_fpath)
     else:
         s1_fpath = input_path
         if have_xmp:
@@ -398,25 +406,31 @@ def denoise_file(args, input_path: pathlib.Path) -> Optional[pathlib.Path]:
     # reference pays them only because its stages are separate processes)
     stage2_runs = cmd_darktable is not None and have_xmp
     if not stage2_runs and not (args.use_gmic and cmd_gmic) and not args.debug:
-        denoised01 = _denoise_to_array(mcfg, s1_fpath, args)
-        if rldeblur:
-            _rl_array_to_file(denoised01, outpath, sigma, iterations, quality,
-                              verbose=args.verbose, impl=args.rl_impl,
-                              psf=args.rl_psf)
-        elif outpath.suffix.lower() == ".tiff":
-            imgio.save_img(denoised01.transpose(2, 0, 1), str(outpath))
-        else:
-            _write_encoded(denoised01, outpath, quality)
-        exif_mod.clone_exif(s1_fpath, outpath, verbose=args.verbose)
+        with timers.stage("denoise"):
+            denoised01 = _denoise_to_array(mcfg, s1_fpath, args)
+        with timers.stage("rl+encode"):
+            if rldeblur:
+                _rl_array_to_file(denoised01, outpath, sigma, iterations,
+                                  quality, verbose=args.verbose,
+                                  impl=args.rl_impl, psf=args.rl_psf)
+            elif outpath.suffix.lower() == ".tiff":
+                imgio.save_img(denoised01.transpose(2, 0, 1), str(outpath))
+            else:
+                _write_encoded(denoised01, outpath, quality)
+        with timers.stage("exif"):
+            exif_mod.clone_exif(s1_fpath, outpath, verbose=args.verbose)
         for f in [input_xmp.with_suffix(".s1.xmp"), input_xmp.with_suffix(".s2.xmp")]:
             pathlib.Path(f).unlink(missing_ok=True)
+        if args.verbose:
+            print(f"stages: {timers.summary()}")
         return outpath
 
     # ---- denoise (in-process, on-device) ----
     s1_denoised_fpath.unlink(missing_ok=True)
-    _run_denoiser(mcfg, s1_fpath, s1_denoised_fpath, args.batch_size,
-                  cs=args.cs, ucs=args.ucs,
-                  compute_dtype=args.compute_dtype)
+    with timers.stage("denoise"):
+        _run_denoiser(mcfg, s1_fpath, s1_denoised_fpath, args.batch_size,
+                      cs=args.cs, ucs=args.ucs,
+                      compute_dtype=args.compute_dtype)
     if not s1_denoised_fpath.exists():
         raise RuntimeError(f"denoiser did not produce {s1_denoised_fpath}")
     exif_mod.clone_exif(input_path, s1_denoised_fpath, verbose=args.verbose)
@@ -425,9 +439,10 @@ def denoise_file(args, input_path: pathlib.Path) -> Optional[pathlib.Path]:
     if rldeblur and s2_fpath.is_file():
         s2_fpath.unlink()
     if stage2_runs:
-        external.run_darktable_stage2(cmd_darktable, s1_denoised_fpath,
-                                      input_xmp.with_suffix(".s2.xmp"),
-                                      s2_fpath, height=args.height or "0")
+        with timers.stage("stage2"):
+            external.run_darktable_stage2(cmd_darktable, s1_denoised_fpath,
+                                          input_xmp.with_suffix(".s2.xmp"),
+                                          s2_fpath, height=args.height or "0")
     else:
         print("Warning: skipping darktable stage 2 (missing binary or XMP); "
               "writing denoised image as stage-2 output.")
@@ -436,27 +451,32 @@ def denoise_file(args, input_path: pathlib.Path) -> Optional[pathlib.Path]:
 
     # ---- RL-deblur ----
     if rldeblur:
-        if args.use_gmic and cmd_gmic is not None:
-            restore = None
-            if " " in outpath.name:  # gmic can't handle spaces (denoise.py:464-469)
-                restore = outpath.name
-                outpath = outpath.rename(outpath.with_name(outpath.name.replace(" ", "_")))
-            external.run_gmic_rl_deblur(cmd_gmic, s2_fpath, outpath.name,
-                                        sigma, int(iterations), quality)
-            if restore is not None:
-                outpath = outpath.replace(outpath.with_name(restore))
-        else:
-            _rl_deblur_ondevice(s2_fpath, outpath, sigma, iterations, quality,
-                                verbose=args.verbose, impl=args.rl_impl,
-                                psf=args.rl_psf)
+        with timers.stage("rl+encode"):
+            if args.use_gmic and cmd_gmic is not None:
+                restore = None
+                if " " in outpath.name:  # gmic can't handle spaces (denoise.py:464-469)
+                    restore = outpath.name
+                    outpath = outpath.rename(
+                        outpath.with_name(outpath.name.replace(" ", "_")))
+                external.run_gmic_rl_deblur(cmd_gmic, s2_fpath, outpath.name,
+                                            sigma, int(iterations), quality)
+                if restore is not None:
+                    outpath = outpath.replace(outpath.with_name(restore))
+            else:
+                _rl_deblur_ondevice(s2_fpath, outpath, sigma, iterations,
+                                    quality, verbose=args.verbose,
+                                    impl=args.rl_impl, psf=args.rl_psf)
 
-    exif_mod.clone_exif(s1_fpath, outpath, verbose=args.verbose)
+    with timers.stage("exif"):
+        exif_mod.clone_exif(s1_fpath, outpath, verbose=args.verbose)
 
     if not args.debug:
         for f in [s1_fpath, s1_denoised_fpath, s2_fpath,
                   input_xmp.with_suffix(".s1.xmp"), input_xmp.with_suffix(".s2.xmp")]:
             if f not in (input_path, outpath):
                 pathlib.Path(f).unlink(missing_ok=True)
+    if args.verbose:
+        print(f"stages: {timers.summary()}")
     return outpath
 
 

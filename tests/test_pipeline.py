@@ -126,6 +126,27 @@ def test_denoise_cli_tiff_input_end_to_end(tmp_path, tiny_checkpoint, sidecar):
     assert back.shape == (200, 220, 3)
 
 
+def test_denoise_cli_verbose_stage_timers(tmp_path, tiny_checkpoint, capsys):
+    """--verbose prints the per-stage wall-time summary (StageTimers)."""
+    import cv2
+
+    from nind_denoise_tpu.pipeline import denoise_cli
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((120, 130, 3)) * 65535).astype(np.uint16)
+    tif = tmp_path / "img.tif"
+    cv2.imwrite(str(tif), img)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    denoise_cli.main([
+        str(tif), "--tiff-input", "-o", str(out_dir),
+        "--model_path", tiny_checkpoint, "--cs", "104", "--ucs", "88",
+        "--batch_size", "2", "--verbose",
+    ])
+    out = capsys.readouterr().out
+    assert "stages: " in out and "denoise: " in out and "rl+encode: " in out
+
+
 def test_denoise_cli_tiff_directory_mode(tmp_path, tiny_checkpoint):
     """Directory input with --tiff-input: every TIFF is processed (the
     reference's dir loop only matched RAW extensions, so its TIFF dir mode
