@@ -67,17 +67,25 @@ class EnginePool:
             for d in devices]
         self.devices = devices
         self.cs, self.ucs = self._replicas[0].cs, self._replicas[0].ucs
+        self._build_kw = dict(network=network, cs=cs, ucs=ucs,
+                              activation=activation, batch_size=batch_size,
+                              compute_dtype=compute_dtype,
+                              precision=precision,
+                              max_subpixels=max_subpixels)
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._closing = threading.Event()
-        self._workers = [threading.Thread(target=self._run, args=(r,),
+        self._reload_lock = threading.Lock()
+        # workers look their replica up PER JOB (not a captured object) so
+        # reload() can swap checkpoints under live traffic
+        self._workers = [threading.Thread(target=self._run, args=(i,),
                                           daemon=True)
-                         for r in self._replicas]
+                         for i in range(len(self._replicas))]
         for t in self._workers:
             t.start()
 
     # -- worker loop -----------------------------------------------------
 
-    def _run(self, replica):
+    def _run(self, idx: int):
         while True:
             try:
                 job = self._q.get(timeout=0.25)
@@ -89,13 +97,54 @@ class EnginePool:
                 return
             fn, done = job
             try:
-                done["result"] = fn(replica)
+                done["result"] = fn(self._replicas[idx])
             except BaseException as e:  # noqa: BLE001 — the waiter must
                 # always be released (same rationale as serve's dispatcher)
                 done["error"] = (e if isinstance(e, Exception) else
                                  RuntimeError(f"fatal pool error: {e!r}"))
             finally:
                 done["event"].set()
+
+    # -- checkpoint rollover ----------------------------------------------
+
+    def reload(self, params, quiesce_timeout: float = 3600.0) -> None:
+        """Swap every replica to ``params`` (same network/config) as a
+        drain-and-swap rollover: N jobs park their workers at a barrier (a
+        worker runs one job at a time, so the barrier releasing proves all
+        N workers are simultaneously idle — in-flight requests finished),
+        then each worker rebuilds ITS OWN replica on the thread that owns
+        the device. Requests enqueued behind the rollover jobs are served
+        by the new engines. NOTE: engine params are immutable by design
+        (derived kernels are jit closure constants), so a rollover builds
+        fresh engines — the first request per tile-shape bucket afterwards
+        pays a (persistently cached) compile. Raises BrokenBarrierError if
+        the pool cannot quiesce within ``quiesce_timeout`` (the pool keeps
+        serving on the old checkpoint)."""
+        from ..engine.tile_engine import AdaptiveEngine
+
+        kw = dict(self._build_kw)
+        network = kw.pop("network")
+        barrier = threading.Barrier(len(self._workers))
+
+        def rebuild(replica):
+            try:
+                barrier.wait(timeout=quiesce_timeout)
+            except threading.BrokenBarrierError:
+                barrier.abort()  # release any workers still parked
+                raise
+            # identify the worker by the (pre-swap, distinct) replica it
+            # holds; the barrier guarantees no swap happened yet
+            i = self._replicas.index(replica)
+            self._replicas[i] = AdaptiveEngine(network, params,
+                                               device=replica.device, **kw)
+            return i
+
+        # serialize rollovers: two interleaved barrier-job sets could park
+        # the workers across DIFFERENT barriers and neither would release
+        with self._reload_lock:
+            done = self.map(range(len(self._workers)),
+                            lambda w, _i: rebuild(w))
+        assert sorted(done) == list(range(len(self._workers)))
 
     # -- submission ------------------------------------------------------
 

@@ -86,7 +86,7 @@ class DenoiseService:
             parallel = "single"
         self.mode = parallel
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
-                      "busy_s": 0.0, "per_device": {}}
+                      "busy_s": 0.0, "reloads": 0, "per_device": {}}
         self._stats_lock = threading.Lock()
 
         self._pool = None
@@ -237,6 +237,59 @@ class DenoiseService:
             s["per_device"] = dict(s["per_device"])
             return s
 
+    def reload(self, model_path: str) -> dict:
+        """Hot checkpoint rollover (``POST /reload?model_path=...``): load
+        the new weights (host-side IO on the caller thread), rebuild the
+        engine stack, and swap it in BETWEEN requests — in-flight requests
+        finish on the old checkpoint, later ones run the new one, traffic
+        is never dropped. Engines are immutable by design (derived kernels
+        are jit closure constants), so this builds fresh engines: the first
+        request per tile-shape bucket afterwards pays a (persistently
+        cached) compile. The network/tile/batch config is fixed at service
+        start; only the weights roll."""
+        from ..models import params_io
+
+        params, state = params_io.load_generator(model_path, self._network)
+        if self._network == "UNet":
+            params = (params, state)
+
+        if self.mode == "images":
+            self._pool.reload(params)
+        else:
+            from ..engine.tile_engine import AdaptiveEngine, resolve_apply_fn
+
+            def swap():
+                # runs ON the dispatcher thread: construction dispatches
+                # device work (device_put, precompute jits), and the swap
+                # must serialize with request denoises anyway
+                if self.mode == "shard":
+                    self._resolved = resolve_apply_fn(
+                        self._network, params, self._activation,
+                        compute_dtype=self._compute_dtype)
+                    self._sharded = {}
+                    self._sharded_for_cs(self.cs, self.ucs)
+                    self._tiny = AdaptiveEngine(
+                        self._network, params, cs=self.cs, ucs=self.ucs,
+                        activation=self._activation,
+                        batch_size=self._batch_size,
+                        compute_dtype=self._compute_dtype,
+                        resolved=self._resolved)
+                else:
+                    self._adaptive = AdaptiveEngine(
+                        self._network, params, cs=self.cs, ucs=self.ucs,
+                        activation=self._activation,
+                        batch_size=self._batch_size,
+                        compute_dtype=self._compute_dtype)
+                    self._adaptive._engine_for(self.cs, self.ucs)
+                return True
+
+            self.submit(swap)
+        self._params = params
+        with self._stats_lock:
+            self.stats["reloads"] += 1
+        return {"status": "reloaded", "model_path": model_path,
+                "mode": self.mode}
+
     def close(self):
         if self._pool is not None:
             self._pool.close()
@@ -354,8 +407,37 @@ def make_handler(svc: DenoiseService):
 
         MAX_BODY = 512 * 1024 * 1024  # 512 MB: beyond any supported image
 
+        def _do_reload(self, parsed):
+            """``POST /reload?model_path=...`` — hot checkpoint rollover.
+            No body; the path names a checkpoint on the SERVER's disk (the
+            service is a localhost/cluster-internal daemon; weights travel
+            by filesystem, not by upload)."""
+            q = urllib.parse.parse_qs(parsed.query)
+            model_path = q.get("model_path", [None])[0]
+            if not model_path:
+                return self._json(400,
+                                  {"error": "model_path query param required"})
+            # drain any (unexpected) body so the connection stays usable
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                length = 0
+            if 0 < length <= self.MAX_BODY:
+                self.rfile.read(length)
+            try:
+                return self._json(200, svc.reload(model_path))
+            except Exception as e:
+                svc.bump("errors")
+                code = (503 if isinstance(e, (ServiceBusy,
+                                              threading.BrokenBarrierError))
+                        else 400 if isinstance(e, (ValueError, OSError))
+                        else 500)
+                return self._json(code, {"error": f"{type(e).__name__}: {e}"})
+
         def do_POST(self):
             parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/reload":
+                return self._do_reload(parsed)
             if parsed.path != "/denoise":
                 return self._json(404, {"error": "unknown endpoint"})
             q = urllib.parse.parse_qs(parsed.query)

@@ -180,6 +180,80 @@ def test_submit_after_close_raises_not_hangs(params):
         p.submit(lambda w: w)
 
 
+def test_reload_swaps_every_replica_to_new_weights(params):
+    """reload(params_B) must leave EVERY replica serving params_B exactly
+    (bit-match vs a fresh engine built on B), not a mix of old and new —
+    the barrier hand-off guarantees each worker rebuilds its own replica
+    once. Serving-side of checkpoint rollover (POST /reload)."""
+    params_b = UtNet.init(jax.random.PRNGKey(1), funit=8)
+    p = EnginePool("UtNet", params, jax.local_devices()[:2],
+                   cs=104, ucs=88, compute_dtype="float32")
+    try:
+        img = np.random.default_rng(11).random((104, 104, 3),
+                                               dtype=np.float32)
+        before = np.asarray(p.denoise_raw(img, 1.0))
+        p.reload(params_b)
+        ref = np.asarray(AdaptiveEngine(
+            "UtNet", params_b, cs=104, ucs=88, compute_dtype="float32"
+        ).denoise_raw(img, 1.0))
+        assert not np.array_equal(before, ref), "weights A == weights B?"
+        # check each replica directly, not via the queue (which could land
+        # both probes on one worker)
+        for r in p._replicas:
+            np.testing.assert_array_equal(
+                np.asarray(r.denoise_raw(img, 1.0, out_dtype="float32")),
+                ref)
+        # and the pool still serves
+        np.testing.assert_array_equal(np.asarray(p.denoise_raw(img, 1.0)),
+                                      ref)
+    finally:
+        p.close()
+
+
+def test_reload_under_concurrent_traffic_never_drops(params):
+    """Denoise requests racing a rollover must ALL succeed (served by the
+    old or the new engines — never dropped, never deadlocked on the
+    quiesce barrier) and requests issued after reload() returns must be on
+    the new weights."""
+    params_b = UtNet.init(jax.random.PRNGKey(2), funit=8)
+    p = EnginePool("UtNet", params, jax.local_devices()[:2],
+                   cs=104, ucs=88, compute_dtype="float32")
+    try:
+        img = np.random.default_rng(12).random((104, 104, 3),
+                                               dtype=np.float32)
+        p.denoise_raw(img, 1.0)  # warm compiles before the race
+        errs, outs = [], []
+        lock = threading.Lock()
+
+        def traffic():
+            try:
+                o = np.asarray(p.denoise_raw(img, 1.0))
+                with lock:
+                    outs.append(o)
+            except Exception as e:  # noqa: BLE001 — recorded for the assert
+                with lock:
+                    errs.append(e)
+
+        threads = [threading.Thread(target=traffic) for _ in range(6)]
+        for t in threads[:3]:
+            t.start()
+        p.reload(params_b)
+        for t in threads[3:]:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+            assert not t.is_alive(), "request hung across the rollover"
+        assert not errs, errs
+        assert len(outs) == 6
+        ref = np.asarray(AdaptiveEngine(
+            "UtNet", params_b, cs=104, ucs=88, compute_dtype="float32"
+        ).denoise_raw(img, 1.0))
+        np.testing.assert_array_equal(np.asarray(p.denoise_raw(img, 1.0)),
+                                      ref)
+    finally:
+        p.close()
+
+
 def test_close_releases_pending_waiters(params):
     """Jobs sitting on the queue after the workers have retired must have
     their waiters released with an error by close()'s drain (not left

@@ -8,6 +8,7 @@ concurrent requests.
 
 import json
 import threading
+import urllib.parse
 import urllib.request
 
 import numpy as np
@@ -163,6 +164,60 @@ def test_tiny_image_served(server):
     body = urllib.request.urlopen(req).read()
     out = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_UNCHANGED)
     assert out is not None and out.shape == (33, 47, 3)
+
+
+def test_reload_rolls_weights_without_dropping(server, tmp_path):
+    """POST /reload must swap to the new checkpoint (output changes and
+    matches the service's own post-reload direct result) and bump the
+    reloads stat; requests keep succeeding around it."""
+    svc, base = server
+    import cv2
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 65536, (104, 120, 3), dtype=np.uint16)
+    payload = _png_bytes(img)
+
+    def denoise_via_http():
+        req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                     data=payload, method="POST")
+        body = urllib.request.urlopen(req).read()
+        return cv2.imdecode(np.frombuffer(body, np.uint8),
+                            cv2.IMREAD_UNCHANGED)[..., ::-1]
+
+    before = denoise_via_http()
+    ckpt2 = str(tmp_path / "generator_2.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(42), funit=8), ckpt2)
+    req = urllib.request.Request(
+        base + "/reload?" + urllib.parse.urlencode({"model_path": ckpt2}),
+        data=b"", method="POST")
+    resp = json.loads(urllib.request.urlopen(req).read())
+    assert resp["status"] == "reloaded" and resp["mode"] == svc.mode
+    assert svc.snapshot_stats()["reloads"] >= 1
+    after = denoise_via_http()
+    assert not np.array_equal(before, after), "reload did not swap weights"
+    want_f = svc._denoise01(img.astype(np.float32) / 65535.0)
+    want = np.round(np.clip(want_f, 0, 1) * 255).astype(np.uint8)
+    diff = np.abs(after.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+
+
+def test_reload_bad_requests_are_4xx(server):
+    """Missing model_path -> 400; nonexistent checkpoint -> 400 (and the
+    service keeps serving on the old weights)."""
+    svc, base = server
+    req = urllib.request.Request(base + "/reload", data=b"", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    req = urllib.request.Request(
+        base + "/reload?model_path=/nonexistent/ckpt.npz", data=b"",
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    # still healthy
+    h = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    assert h["status"] == "ok"
 
 
 def test_bad_content_length_is_4xx(server):
@@ -350,6 +405,81 @@ def test_pool_rl_runs_on_worker_device(server_images):
     out = cv2.imdecode(np.frombuffer(urllib.request.urlopen(req).read(),
                                      np.uint8), cv2.IMREAD_UNCHANGED)
     assert out is not None and out.shape == (104, 120, 3)
+
+
+def test_pool_reload_all_replicas_roll(server_images, tmp_path):
+    """POST /reload in ``images`` mode must leave every device replica on
+    the new checkpoint: concurrent post-reload requests (spread across
+    workers) all bit-match the service's own direct result."""
+    svc, base = server_images
+    import cv2
+
+    ckpt2 = str(tmp_path / "generator_2.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(43), funit=8), ckpt2)
+    req = urllib.request.Request(
+        base + "/reload?" + urllib.parse.urlencode({"model_path": ckpt2}),
+        data=b"", method="POST")
+    resp = json.loads(urllib.request.urlopen(req).read())
+    assert resp["status"] == "reloaded" and resp["mode"] == "images"
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 65536, (104, 120, 3), dtype=np.uint16)
+    payload = _png_bytes(img)
+    want_f = svc._denoise01(img.astype(np.float32) / 65535.0)
+    want = np.round(np.clip(want_f, 0, 1) * 255).astype(np.uint8)
+    results = [None] * 4
+
+    def hit(i):
+        r = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                   data=payload, method="POST")
+        body = urllib.request.urlopen(r).read()
+        results[i] = cv2.imdecode(np.frombuffer(body, np.uint8),
+                                  cv2.IMREAD_UNCHANGED)[..., ::-1]
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive()
+    for i in range(4):
+        diff = np.abs(results[i].astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, f"replica served request {i} on old weights"
+
+
+@pytest.mark.slow  # builds a sharded engine stack twice (GSPMD compiles)
+def test_shard_mode_reload_direct(tmp_path):
+    """reload() in ``shard`` mode rebuilds the resolved forward, the
+    sharded denoiser cache, and the tiny-image fallback — post-reload
+    output must match a fresh shard-mode service built on the new
+    checkpoint."""
+    ckpt1 = str(tmp_path / "g1.npz")
+    ckpt2 = str(tmp_path / "g2.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=8), ckpt1)
+    params_io.save(UtNet.init(jax.random.PRNGKey(7), funit=8), ckpt2)
+    svc = serve_mod.DenoiseService("UtNet", ckpt1, cs=104, ucs=88,
+                                   compute_dtype="float32", devices=4,
+                                   parallel="shard")
+    fresh = serve_mod.DenoiseService("UtNet", ckpt2, cs=104, ucs=88,
+                                     compute_dtype="float32", devices=4,
+                                     parallel="shard")
+    try:
+        assert svc.mode == "shard"
+        rng = np.random.default_rng(13)
+        img01 = rng.random((416, 208, 3), dtype=np.float32)
+        before = svc._denoise01(img01)
+        resp = svc.reload(ckpt2)
+        assert resp["mode"] == "shard"
+        after = svc._denoise01(img01)
+        assert not np.array_equal(before, after)
+        np.testing.assert_array_equal(after, fresh._denoise01(img01))
+        # tiny-image fallback engine also rolled
+        tiny = rng.random((33, 47, 3), dtype=np.float32)
+        np.testing.assert_array_equal(svc._denoise01(tiny),
+                                      fresh._denoise01(tiny))
+    finally:
+        svc.close()
+        fresh.close()
 
 
 def test_submit_after_close_raises_not_hangs(tmp_path_factory):
