@@ -56,22 +56,23 @@ class EnginePool:
         devices = list(jax.local_devices() if devices is None else devices)
         if not devices:
             raise ValueError("EnginePool needs at least one device")
-        # replicas build serially here (not in the worker threads) so
-        # constructor errors surface eagerly and later replicas reuse the
-        # first one's compile-cache entries
-        self._replicas: List[AdaptiveEngine] = [
-            AdaptiveEngine(network, params, cs=cs, ucs=ucs,
-                           activation=activation, batch_size=batch_size,
-                           compute_dtype=compute_dtype, precision=precision,
-                           max_subpixels=max_subpixels, device=d)
-            for d in devices]
-        self.devices = devices
-        self.cs, self.ucs = self._replicas[0].cs, self._replicas[0].ucs
+        # the single source of replica config: __init__ and reload() both
+        # build from this dict, so boot-time and rolled-over replicas can
+        # never drift in configuration
         self._build_kw = dict(network=network, cs=cs, ucs=ucs,
                               activation=activation, batch_size=batch_size,
                               compute_dtype=compute_dtype,
                               precision=precision,
                               max_subpixels=max_subpixels)
+        kw = dict(self._build_kw)
+        net = kw.pop("network")
+        # replicas build serially here (not in the worker threads) so
+        # constructor errors surface eagerly and later replicas reuse the
+        # first one's compile-cache entries
+        self._replicas: List[AdaptiveEngine] = [
+            AdaptiveEngine(net, params, device=d, **kw) for d in devices]
+        self.devices = devices
+        self.cs, self.ucs = self._replicas[0].cs, self._replicas[0].ucs
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._closing = threading.Event()
         self._reload_lock = threading.Lock()
@@ -119,12 +120,23 @@ class EnginePool:
         fresh engines — the first request per tile-shape bucket afterwards
         pays a (persistently cached) compile. Raises BrokenBarrierError if
         the pool cannot quiesce within ``quiesce_timeout`` (the pool keeps
-        serving on the old checkpoint)."""
+        serving on the old checkpoint).
+
+        The swap is ALL-OR-NOTHING: builds happen into a side table, a
+        second barrier proves every build finished, and only if all N
+        succeeded does any worker swap. A per-device build failure (OOM,
+        transient backend error) therefore leaves every replica on the old
+        checkpoint — never a pool serving mixed checkpoints — and reload
+        raises with the build error chained."""
         from ..engine.tile_engine import AdaptiveEngine
 
         kw = dict(self._build_kw)
         network = kw.pop("network")
-        barrier = threading.Barrier(len(self._workers))
+        n = len(self._workers)
+        barrier = threading.Barrier(n)  # cyclic: reused for phase 2
+        built: List[Optional[AdaptiveEngine]] = [None] * n
+        errors: List[BaseException] = []
+        err_lock = threading.Lock()
 
         def rebuild(replica):
             try:
@@ -135,8 +147,21 @@ class EnginePool:
             # identify the worker by the (pre-swap, distinct) replica it
             # holds; the barrier guarantees no swap happened yet
             i = self._replicas.index(replica)
-            self._replicas[i] = AdaptiveEngine(network, params,
-                                               device=replica.device, **kw)
+            try:
+                built[i] = AdaptiveEngine(network, params,
+                                          device=replica.device, **kw)
+            except BaseException as e:  # noqa: BLE001 — must reach phase 2
+                with err_lock:
+                    errors.append(e)
+            # phase 2: every build has finished (success or not) before any
+            # worker decides; all swap or none does
+            try:
+                barrier.wait(timeout=quiesce_timeout)
+            except threading.BrokenBarrierError:
+                barrier.abort()
+                raise
+            if not errors:
+                self._replicas[i] = built[i]
             return i
 
         # serialize rollovers: two interleaved barrier-job sets could park
@@ -145,6 +170,11 @@ class EnginePool:
             done = self.map(range(len(self._workers)),
                             lambda w, _i: rebuild(w))
         assert sorted(done) == list(range(len(self._workers)))
+        if errors:
+            raise RuntimeError(
+                "checkpoint rollover aborted: a replica rebuild failed; "
+                "ALL devices keep serving the previous checkpoint"
+            ) from errors[0]
 
     # -- submission ------------------------------------------------------
 

@@ -70,7 +70,6 @@ class DenoiseService:
                  max_pending: int = 8, parallel: str = "auto"):
         import jax
 
-        from ..engine.tile_engine import AdaptiveEngine
         from ..models import params_io
 
         self.ndev = devices or jax.local_device_count()
@@ -104,7 +103,6 @@ class DenoiseService:
 
         if parallel == "shard":
             from ..core.tiles import default_cs_ucs
-            from ..engine.tile_engine import resolve_apply_fn
 
             if cs is None or ucs is None:
                 cs, ucs = default_cs_ucs(network)
@@ -112,25 +110,10 @@ class DenoiseService:
             from ..models import get_network
 
             self._check_cs = getattr(get_network(network), "check_cs", None)
-            # resolve the forward ONCE; every per-tile-size sharded
-            # denoiser reuses it
-            self._resolved = resolve_apply_fn(network, params, activation,
-                                              compute_dtype=compute_dtype)
-            self._sharded: dict = {}
-            self._sharded_for_cs(self.cs, self.ucs)  # warm eagerly
-            self._tiny = AdaptiveEngine(network, params, cs=cs, ucs=ucs,
-                                        activation=activation,
-                                        batch_size=batch_size,
-                                        compute_dtype=compute_dtype,
-                                        resolved=self._resolved)
+            self.__dict__.update(self._build_stack(params, cs, ucs))
         else:  # single
-            self._adaptive = AdaptiveEngine(network, params, cs=cs, ucs=ucs,
-                                            activation=activation,
-                                            batch_size=batch_size,
-                                            compute_dtype=compute_dtype)
+            self.__dict__.update(self._build_stack(params, cs, ucs))
             self.cs, self.ucs = self._adaptive.cs, self._adaptive.ucs
-            # warm the default-tile engine eagerly
-            self._adaptive._engine_for(self.cs, self.ucs)
 
         # bounded queue = backpressure: each queued job closes over a
         # decoded image, so an unbounded queue lets concurrent uploads pin
@@ -141,23 +124,56 @@ class DenoiseService:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def _sharded_for_cs(self, cs: int, ucs: int):
-        """Row-band sharded denoiser per tile size, cached — small requests
-        get an adapted tiling instead of a TilePlan error."""
-        key = (cs, ucs)
-        if key in self._sharded:
-            return self._sharded[key]
+    def _build_stack(self, params, cs, ucs) -> dict:
+        """Construct the COMPLETE engine stack for the current mode into a
+        plain dict of attributes. Nothing observable mutates until the
+        caller applies the dict (``self.__dict__.update``), so __init__ and
+        reload() share one construction recipe and a mid-build failure
+        (device OOM, transient backend error) leaves the service wholly on
+        the previous stack — never a torn mix of old tiled / new tiny
+        engines."""
+        from ..engine.tile_engine import AdaptiveEngine, resolve_apply_fn
+
+        if self.mode == "shard":
+            # resolve the forward ONCE; every per-tile-size sharded
+            # denoiser reuses it
+            resolved = resolve_apply_fn(self._network, params,
+                                        self._activation,
+                                        compute_dtype=self._compute_dtype)
+            # warm the default tile size eagerly
+            sharded = {(cs, ucs): self._make_sharded(resolved, cs, ucs)}
+            tiny = AdaptiveEngine(self._network, params, cs=cs, ucs=ucs,
+                                  activation=self._activation,
+                                  batch_size=self._batch_size,
+                                  compute_dtype=self._compute_dtype,
+                                  resolved=resolved)
+            return {"_resolved": resolved, "_sharded": sharded,
+                    "_tiny": tiny}
+        adaptive = AdaptiveEngine(self._network, params, cs=cs, ucs=ucs,
+                                  activation=self._activation,
+                                  batch_size=self._batch_size,
+                                  compute_dtype=self._compute_dtype)
+        adaptive._engine_for(adaptive.cs, adaptive.ucs)  # warm eagerly
+        return {"_adaptive": adaptive}
+
+    def _make_sharded(self, resolved, cs: int, ucs: int):
         from ..engine.tile_engine import make_sharded_denoiser
 
         sharded = make_sharded_denoiser(
             self._network, None, self.ndev, cs=cs, ucs=ucs,
             batch_size=self._batch_size,
-            compute_dtype=self._compute_dtype, resolved=self._resolved)
+            compute_dtype=self._compute_dtype, resolved=resolved)
         # multi-chip hosts have fast PCIe + many cores: host fp32 is fine
-        fn = lambda raw, scale: sharded.denoise_hwc(
+        return lambda raw, scale: sharded.denoise_hwc(
             raw.astype(np.float32) / scale)
-        self._sharded[key] = fn
-        return fn
+
+    def _sharded_for_cs(self, cs: int, ucs: int):
+        """Row-band sharded denoiser per tile size, cached — small requests
+        get an adapted tiling instead of a TilePlan error."""
+        key = (cs, ucs)
+        if key not in self._sharded:
+            self._sharded[key] = self._make_sharded(self._resolved, cs, ucs)
+        return self._sharded[key]
 
     def _denoise_raw(self, raw: np.ndarray, scale: float):
         """Dispatcher-thread denoise for the single/shard modes (the pool
@@ -256,31 +272,15 @@ class DenoiseService:
         if self.mode == "images":
             self._pool.reload(params)
         else:
-            from ..engine.tile_engine import AdaptiveEngine, resolve_apply_fn
-
             def swap():
                 # runs ON the dispatcher thread: construction dispatches
                 # device work (device_put, precompute jits), and the swap
-                # must serialize with request denoises anyway
-                if self.mode == "shard":
-                    self._resolved = resolve_apply_fn(
-                        self._network, params, self._activation,
-                        compute_dtype=self._compute_dtype)
-                    self._sharded = {}
-                    self._sharded_for_cs(self.cs, self.ucs)
-                    self._tiny = AdaptiveEngine(
-                        self._network, params, cs=self.cs, ucs=self.ucs,
-                        activation=self._activation,
-                        batch_size=self._batch_size,
-                        compute_dtype=self._compute_dtype,
-                        resolved=self._resolved)
-                else:
-                    self._adaptive = AdaptiveEngine(
-                        self._network, params, cs=self.cs, ucs=self.ucs,
-                        activation=self._activation,
-                        batch_size=self._batch_size,
-                        compute_dtype=self._compute_dtype)
-                    self._adaptive._engine_for(self.cs, self.ucs)
+                # must serialize with request denoises anyway. The stack
+                # builds FULLY into a local dict before the one-line
+                # update, so a mid-build failure leaves every engine on
+                # the old checkpoint (no torn tiled/tiny mix).
+                stack = self._build_stack(params, self.cs, self.ucs)
+                self.__dict__.update(stack)
                 return True
 
             self.submit(swap)

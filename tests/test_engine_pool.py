@@ -268,3 +268,55 @@ def test_close_releases_pending_waiters(params):
     p.close()  # drain pass
     assert done["event"].is_set()
     assert isinstance(done.get("error"), RuntimeError)
+
+
+def test_reload_failure_is_atomic(params, monkeypatch):
+    """A per-device rebuild failure mid-rollover must leave EVERY replica
+    on the OLD checkpoint (all-or-nothing swap via the second barrier
+    phase) and raise — never a pool serving MIXED checkpoints where which
+    weights a request gets is load-balancer luck."""
+    import nind_denoise_tpu.engine.tile_engine as te
+
+    params_b = UtNet.init(jax.random.PRNGKey(3), funit=8)
+    p = EnginePool("UtNet", params, jax.local_devices()[:2],
+                   cs=104, ucs=88, compute_dtype="float32")
+    try:
+        img = np.random.default_rng(21).random((104, 104, 3),
+                                               dtype=np.float32)
+        ref_old = np.asarray(p._replicas[0].denoise_raw(
+            img, 1.0, out_dtype="float32"))
+
+        real = te.AdaptiveEngine
+        fail_dev = p.devices[1]
+
+        class Flaky(real):
+            """Build succeeds on device 0, raises on device 1 — the
+            partial-failure scenario (OOM / transient backend error)."""
+
+            def __init__(self, *a, device=None, **kw):
+                if device == fail_dev:
+                    raise RuntimeError("simulated device OOM")
+                super().__init__(*a, device=device, **kw)
+
+        monkeypatch.setattr(te, "AdaptiveEngine", Flaky)
+        with pytest.raises(RuntimeError, match="previous checkpoint"):
+            p.reload(params_b)
+        monkeypatch.setattr(te, "AdaptiveEngine", real)
+
+        # EVERY replica (including device 0, whose build succeeded) must
+        # still serve the old weights, and the pool must keep serving
+        for r in p._replicas:
+            np.testing.assert_array_equal(
+                np.asarray(r.denoise_raw(img, 1.0, out_dtype="float32")),
+                ref_old)
+        np.testing.assert_array_equal(np.asarray(p.denoise_raw(img, 1.0)),
+                                      ref_old)
+        # and a subsequent (unbroken) rollover still works
+        p.reload(params_b)
+        ref_new = np.asarray(AdaptiveEngine(
+            "UtNet", params_b, cs=104, ucs=88, compute_dtype="float32"
+        ).denoise_raw(img, 1.0))
+        np.testing.assert_array_equal(np.asarray(p.denoise_raw(img, 1.0)),
+                                      ref_new)
+    finally:
+        p.close()

@@ -448,11 +448,13 @@ def test_pool_reload_all_replicas_roll(server_images, tmp_path):
 
 
 @pytest.mark.slow  # builds a sharded engine stack twice (GSPMD compiles)
-def test_shard_mode_reload_direct(tmp_path):
+def test_shard_mode_reload_direct(tmp_path, monkeypatch):
     """reload() in ``shard`` mode rebuilds the resolved forward, the
     sharded denoiser cache, and the tiny-image fallback — post-reload
     output must match a fresh shard-mode service built on the new
-    checkpoint."""
+    checkpoint. A FAILED rollover must be atomic: both the tiled and the
+    tiny request paths stay on the old checkpoint together (no torn
+    old-tiled/new-tiny mix)."""
     ckpt1 = str(tmp_path / "g1.npz")
     ckpt2 = str(tmp_path / "g2.npz")
     params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=8), ckpt1)
@@ -467,7 +469,27 @@ def test_shard_mode_reload_direct(tmp_path):
         assert svc.mode == "shard"
         rng = np.random.default_rng(13)
         img01 = rng.random((416, 208, 3), dtype=np.float32)
+        tiny_img = rng.random((33, 47, 3), dtype=np.float32)
         before = svc._denoise01(img01)
+        tiny_before = svc._denoise01(tiny_img)
+
+        # failed rollover: the tiny-engine build (the LAST stack component,
+        # constructed after the resolved forward and the sharded denoiser)
+        # raises — the swap must not happen at all
+        import nind_denoise_tpu.engine.tile_engine as te
+        real_engine = te.AdaptiveEngine
+
+        def boom(*a, **kw):
+            raise RuntimeError("simulated OOM during rollover")
+
+        monkeypatch.setattr(te, "AdaptiveEngine", boom)
+        with pytest.raises(RuntimeError, match="simulated OOM"):
+            svc.reload(ckpt2)
+        monkeypatch.setattr(te, "AdaptiveEngine", real_engine)
+        np.testing.assert_array_equal(svc._denoise01(img01), before)
+        np.testing.assert_array_equal(svc._denoise01(tiny_img), tiny_before)
+        assert svc.snapshot_stats()["reloads"] == 0
+
         resp = svc.reload(ckpt2)
         assert resp["mode"] == "shard"
         after = svc._denoise01(img01)
