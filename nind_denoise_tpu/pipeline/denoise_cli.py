@@ -408,6 +408,13 @@ def denoise_file(args, input_path: pathlib.Path) -> Optional[pathlib.Path]:
     if not stage2_runs and not (args.use_gmic and cmd_gmic) and not args.debug:
         with timers.stage("denoise"):
             denoised01 = _denoise_to_array(mcfg, s1_fpath, args)
+            if args.verbose:
+                # attribute the async device tail to THIS stage:
+                # block_until_ready is a no-op on axon (CLAUDE.md), so
+                # force one scalar readback (~25 ms RPC). Only under
+                # --verbose — the timers only print there, and the sync
+                # would otherwise cost the denoise/RL dispatch overlap.
+                float(denoised01[0, 0, 0])
         with timers.stage("rl+encode"):
             if rldeblur:
                 _rl_array_to_file(denoised01, outpath, sigma, iterations,

@@ -119,11 +119,14 @@ def build_parser():
                    help="jax.checkpoint the generator forward (save HBM)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="split each batch into N sequential microbatches and "
-                        "apply ONE averaged update (exact same optimizer "
-                        "trajectory, ~1/N the activation memory): train the "
-                        "reference's bs=30 configs, or larger, on chips whose "
-                        "HBM cannot hold the full batch. Must divide "
-                        "--batch_size")
+                        "apply ONE averaged update (~1/N the activation "
+                        "memory): train the reference's bs=30 configs, or "
+                        "larger, on chips whose HBM cannot hold the full "
+                        "batch. Exact same optimizer trajectory for "
+                        "stateless nets (UtNet & co); BatchNorm nets (UNet) "
+                        "normalize per-microbatch, so their trajectory "
+                        "differs slightly (standard accumulation caveat). "
+                        "Must divide --batch_size")
     p.add_argument("--log_interval", type=int, default=1,
                    help="print per-batch generator losses every N batches "
                         "(1 = reference parity). N>1 also DEFERS the "

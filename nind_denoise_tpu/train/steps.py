@@ -116,16 +116,21 @@ def make_generator_train_step(apply_fn: Callable, optimizer, weights: Dict[str, 
     (y, new_model_state)`` (UNet's BatchNorm threading); otherwise
     ``apply_fn(params, x) -> y``.
 
-    ``grad_accum=N`` (N must divide the batch) computes the SAME update as
-    the plain step but with activations for only batch/N samples live at a
-    time: the batch splits into N contiguous microbatches, a ``lax.scan``
-    accumulates their gradients (and, for stateful nets, threads the BN
-    state sequentially), and ONE optimizer update applies their mean.
-    Every per-batch loss above is a mean over equal-size microbatches, so
-    the mean of microbatch gradients equals the full-batch gradient up to
-    fp32 reassociation (pinned by tests/test_train.py). This is how the
-    reference's 8-GB-GPU batch guidance (src/nind_denoise/README.md:123)
-    scales past a chip's HBM — the reference itself has no equivalent.
+    ``grad_accum=N`` (N must divide the batch) runs the batch as N
+    contiguous microbatches under a ``lax.scan`` — activations for only
+    batch/N samples live at a time — and applies ONE optimizer update on
+    the mean gradient. For STATELESS nets (UtNet and the rest of the zoo)
+    this is the SAME update as the plain step: every per-batch loss above
+    is a mean over equal-size microbatches, so the mean of microbatch
+    gradients equals the full-batch gradient up to fp32 reassociation
+    (pinned by tests/test_train.py). For stateful BatchNorm nets (UNet,
+    ``stateful=True``) it is NOT bit-identical: each microbatch normalizes
+    by its own batch/N statistics and the BN running state threads
+    sequentially through the scan, so gradients and model_state differ
+    from the full-batch step (the standard gradient-accumulation caveat —
+    torch accumulation behaves the same way). This is how the reference's
+    8-GB-GPU batch guidance (src/nind_denoise/README.md:123) scales past a
+    chip's HBM — the reference itself has no equivalent.
     """
     weights = normalize_weights(weights)
     fwd = jax.checkpoint(apply_fn) if remat else apply_fn
