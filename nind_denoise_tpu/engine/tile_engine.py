@@ -352,6 +352,124 @@ class TileEngine:
         fetcher.collect()  # waits; threads wrote into `result` directly
         return result
 
+    # -- cross-image coalescing (continuous batching) -------------------------
+
+    # stacked-band budget for denoise_many: beyond this the group's padded
+    # input stack stops fitting comfortably next to the canvas + programs in
+    # HBM, and the per-image streamed path is the right tool anyway (the
+    # coalescing win is for images whose tile count UNDERFILLS a batch)
+    MAX_GROUP_SUBPIXELS = 64 << 20
+
+    def denoise_many(self, raws, scale: float, out_dtype: str = "float32"):
+        with self._placement():
+            return self._denoise_many_impl(list(raws), scale, out_dtype)
+
+    def _denoise_many_impl(self, raws, scale: float,
+                           out_dtype: str = "float32"):
+        """Denoise N same-shape images as ONE coalesced tile stream.
+
+        The MXU wants full batches, but a small image yields few tiles — a
+        504/480 request of one tile runs a batch-8 program 7/8 empty, and
+        every request pays its own dispatch round-trips. Here the images
+        stack along the row axis of a single padded input band and a single
+        accumulation canvas (image ``i`` gathers at ``y + i*PH`` and
+        scatters at ``y + i*GHb``), so the EXISTING jitted step program
+        (same tile batch shape — only the band/canvas heights differ)
+        consumes tiles from all images back-to-back: batches fill across
+        image boundaries and the whole group is one dispatch stream. This
+        is continuous batching for tiled image requests; the reference
+        (one process per image, denoise.py __main__) has no analog.
+
+        Exactness: per-image tile order, band values (same reflect-index /
+        symmetric-pad build as ``denoise_raw``), feather specs, and the
+        sequential scatter-add order are all identical to ``denoise_raw``,
+        and the tile batches fed to the network have the same shape — the
+        outputs match the per-image path bit-for-bit
+        (tests/test_denoise_many.py).
+
+        Group sizes bucket to powers of two (dummy slots are zero rows that
+        dispatch NO tiles) so at most log2(max group) step programs exist
+        per tile-shape bucket. Raises ValueError when shapes/dtypes differ
+        or the stacked band exceeds ``MAX_GROUP_SUBPIXELS`` — callers
+        (AdaptiveEngine.denoise_many) fall back to the per-image path.
+
+        ``out_dtype``: host dtypes return one (N, H, W, C) array; 'device'
+        returns a list of N cropped fp32 canvas views for on-device
+        post-ops (serve's RL stage).
+        """
+        n = len(raws)
+        if n == 0:
+            return []
+        h, w, c = raws[0].shape
+        if any(r.shape != (h, w, c) or r.dtype != raws[0].dtype
+               for r in raws[1:]):
+            raise ValueError("denoise_many: images must share shape + dtype")
+        plan = self.plan_for(h, w)
+        if self.max_subpixels is not None and self.batch_size * self.cs \
+                * self.cs * c > self.max_subpixels:
+            raise RuntimeError(
+                f"TileEngine: batch of "
+                f"{self.batch_size * self.cs * self.cs * c} subpixels "
+                f"exceeds max_subpixels={self.max_subpixels}")
+        if raws[0].dtype == np.float32 and self.compute_dtype == jnp.bfloat16 \
+                and self.precision != "float32":
+            raws = [r.astype(np.float16) for r in raws]  # as denoise_raw
+        ph = plan.ipervl * plan.stride + self.cs  # full padded height
+        wb = _bucket(w + plan.pad_left + plan.pad_right)
+        nb = 1 << (n - 1).bit_length()  # group-size bucket
+        if nb * ph * wb * c > self.MAX_GROUP_SUBPIXELS:
+            raise ValueError(
+                f"denoise_many: stacked band of {nb * ph * wb * c} "
+                f"subpixels exceeds MAX_GROUP_SUBPIXELS")
+        ghb = _bucket(plan.grid_h)
+        canvas = jnp.zeros((nb * ghb, _bucket(plan.grid_w), c), jnp.float32)
+        inv_scale = jnp.float32(1.0 / scale)
+
+        def build_stack() -> np.ndarray:
+            # one padded band holding every image: the same reflect-index +
+            # symmetric-pad build as the streamed path's bands, so values
+            # (and therefore outputs) are bit-identical to denoise_raw
+            stack = np.zeros((nb * ph, wb, c), raws[0].dtype)
+            rows = self._reflect_rows(-plan.pad, ph, plan.H)
+            for i, r in enumerate(raws):
+                stack[i * ph:(i + 1) * ph] = self._pad_rows(r[rows], plan, wb)
+            return stack
+
+        band_fut = transfer.submit_put(build_stack)
+
+        # flat coalesced stream: image-major, per-image row-major tile order
+        # (the scatter-add order inside each image matches denoise_raw)
+        flat = [(i, t) for i in range(n) for t in range(plan.ntiles)]
+        bsz = self.batch_size
+        band_dev = band_fut.result()
+        for b0 in range(0, len(flat), bsz):
+            chunk = flat[b0:b0 + bsz]
+            gcoords = np.zeros((bsz, 2), np.int32)
+            scoords = np.zeros((bsz, 2), np.int32)
+            specs = np.zeros((bsz, 6), np.int32)
+            cds, sps = plan.tile_specs_arrays([t for _, t in chunk])
+            imgs = np.fromiter((i for i, _ in chunk), np.int32, len(chunk))
+            gcoords[:len(cds), 0] = cds[:, 0] + imgs * ph
+            gcoords[:len(cds), 1] = cds[:, 1]
+            scoords[:len(cds), 0] = cds[:, 0] + imgs * ghb
+            scoords[:len(cds), 1] = cds[:, 1]
+            specs[:len(sps)] = sps
+            canvas = self._step(self._params, canvas, band_dev, inv_scale,
+                                jnp.asarray(gcoords), jnp.asarray(scoords),
+                                jnp.asarray(specs))
+        if out_dtype == "device":
+            return [canvas[i * ghb:i * ghb + h, :w] for i in range(n)]
+        out_np = {"uint16": np.uint16, "uint8": np.uint8,
+                  "float16": np.float16, "float32": np.float32}[out_dtype]
+        result = np.empty((n * h, w, c), out_np)
+        fetcher = transfer.AsyncFetcher(out=result)
+        for i in range(n):
+            fetcher.submit(self._finish(canvas[i * ghb:i * ghb + plan.grid_h],
+                                        h=h, w=w, out_dtype=out_dtype),
+                           row0=i * h)
+        fetcher.collect()
+        return result.reshape(n, h, w, c)
+
     def _dump_debug_tiles(self, raw_hwc, plan, r, wb, scale):
         """--debug parity (denoise_image.py:260-266): write each tile's noisy
         input and denoised output as JPEGs into the debug dir (slow path)."""
@@ -714,3 +832,30 @@ class AdaptiveEngine:
             # the per-image calibration win automatically
             eng.recalibrate_int8(raw_hwc, scale)
         return getattr(eng, method)(raw_hwc, scale, out_dtype=out_dtype)
+
+    def denoise_many(self, raws, scale: float, out_dtype: str = "float32"):
+        """Coalesced same-shape group denoise (TileEngine.denoise_many)
+        with every fallback handled: mixed shapes, tiny images, groups over
+        the stacked-band budget, and int8_static (whose per-image scale
+        calibration is worth more than batch fill) all take the per-image
+        path. Always returns per-image results in input order — one
+        (N, H, W, C) array for host dtypes, a list for 'device'."""
+        raws = list(raws)
+        serial = (len(raws) < 2
+                  or self._kw.get("compute_dtype") == "int8_static"
+                  or any(r.shape != raws[0].shape or r.dtype != raws[0].dtype
+                         for r in raws[1:]))
+        if not serial:
+            try:
+                cs, ucs = tiles_mod.adapt_cs_ucs(
+                    raws[0].shape[0], raws[0].shape[1], self.cs, self.ucs,
+                    check=self._check)
+                return self._engine_for(cs, ucs).denoise_many(
+                    raws, scale, out_dtype=out_dtype)
+            except (tiles_mod.TilingError, ValueError):
+                pass  # tiny image or over budget: per-image below
+        outs = [self.denoise_raw(r, scale, out_dtype=out_dtype)
+                for r in raws]
+        if out_dtype == "device":
+            return outs
+        return np.stack(outs)

@@ -16,6 +16,15 @@ Design:
   is correct under the dev tunnel's single-dispatcher discipline
   (CLAUDE.md transfers rule) and the sane serialization for one
   accelerator in production.
+* Continuous batching: in single mode, consecutive queued requests with
+  the same (shape, dtype, scale) coalesce into ONE engine dispatch
+  (engine/tile_engine.denoise_many — tile batches fill across image
+  boundaries, so small images stop running the batch program mostly
+  empty). Per-request RL params still apply individually, results are
+  bit-identical to the serial path, and a queued reload is never
+  reordered (the drain stops at any non-matching job). The
+  ``coalesced_requests`` stat counts requests that rode a shared
+  dispatch.
 * Multi-device hosts pick a parallelism strategy (``--parallel``):
   - ``shard`` (default): each request row-band sharded across all devices
     (parallel/sharded_engine) — minimizes single-request latency.
@@ -85,7 +94,8 @@ class DenoiseService:
             parallel = "single"
         self.mode = parallel
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
-                      "busy_s": 0.0, "reloads": 0, "per_device": {}}
+                      "busy_s": 0.0, "reloads": 0, "per_device": {},
+                      "coalesced_requests": 0}
         self._stats_lock = threading.Lock()
 
         self._pool = None
@@ -202,34 +212,126 @@ class DenoiseService:
 
     # -- dispatcher ----------------------------------------------------------
 
+    # max requests per coalesced dispatch group (single mode): bounds the
+    # stacked-band HBM footprint and the worst-case latency a request adds
+    # to the ones coalesced behind it
+    MAX_COALESCE = 8
+
     def _run(self):
+        held = None  # job popped while draining a group; runs next, in order
         while True:
-            try:
-                job = self._q.get(timeout=0.5)
-            except queue.Empty:
-                if self._closing.is_set():
-                    return
-                continue
+            if held is not None:
+                job, held = held, None
+            else:
+                try:
+                    job = self._q.get(timeout=0.5)
+                except queue.Empty:
+                    if self._closing.is_set():
+                        return
+                    continue
             if job is None:
                 return
-            fn, done = job
-            try:
-                done["result"] = fn()
-            except BaseException as e:  # noqa: BLE001 — the waiter must
-                # ALWAYS be released: a SystemExit/native BaseException that
-                # escaped here would otherwise hang the submitting request
-                # and every later one (the dispatcher is the only consumer)
-                done["error"] = (e if isinstance(e, Exception) else
-                                 RuntimeError(f"fatal dispatcher error: {e!r}"))
-            finally:
-                done["event"].set()
+            if len(job) == 2:
+                self._run_one(job)
+                continue
+            # typed denoise job ("den", key, payload, done): drain CONSECUTIVE
+            # same-key jobs into one coalesced engine dispatch. A non-matching
+            # job (different shape/scale, or a generic job like a reload swap)
+            # stops the drain and runs AFTER the group — it was queued after
+            # every group member, so FIFO order is preserved exactly.
+            group = [job]
+            saw_sentinel = False
+            while len(group) < self.MAX_COALESCE:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    saw_sentinel = True
+                    break
+                if len(nxt) == 4 and nxt[1] == job[1]:
+                    group.append(nxt)
+                else:
+                    held = nxt
+                    break
+            self._run_group(group)
+            if saw_sentinel:
+                return
 
-    def submit(self, fn):
+    @staticmethod
+    def _fail(done, e: BaseException) -> None:
+        # the waiter must ALWAYS be released: a SystemExit/native
+        # BaseException that escaped here would otherwise hang the
+        # submitting request and every later one (the dispatcher is the
+        # only consumer)
+        done["error"] = (e if isinstance(e, Exception) else
+                         RuntimeError(f"fatal dispatcher error: {e!r}"))
+
+    def _run_one(self, job):
+        fn, done = job
+        try:
+            done["result"] = fn()
+        except BaseException as e:  # noqa: BLE001 — see _fail
+            self._fail(done, e)
+        finally:
+            done["event"].set()
+
+    def _run_group(self, group):
+        """One coalesced denoise dispatch for N queued same-key requests:
+        the engine runs them as a single tile stream
+        (AdaptiveEngine.denoise_many — batches fill across image
+        boundaries), then each request's RL/quantize/fetch runs
+        individually (RL params may differ per request)."""
+        payloads = [j[2] for j in group]
+        dones = [j[3] for j in group]
+        t0 = time.perf_counter()
+        try:
+            outs = self._adaptive.denoise_many(
+                [p["raw"] for p in payloads], payloads[0]["scale"],
+                out_dtype="device")
+        except BaseException as e:  # noqa: BLE001 — see _fail
+            for d in dones:
+                self._fail(d, e)
+                d["event"].set()
+            return
+        mp = 0.0
+        for p, out01, d in zip(payloads, outs, dones):
+            try:
+                d["result"] = self._post_u8(out01, p)
+                mp += p["raw"].shape[0] * p["raw"].shape[1] / 1e6
+            except BaseException as e:  # noqa: BLE001 — see _fail
+                self._fail(d, e)
+            finally:
+                d["event"].set()
+        with self._stats_lock:
+            self.stats["busy_s"] += time.perf_counter() - t0
+            self.stats["megapixels"] += mp
+            if len(group) > 1:
+                self.stats["coalesced_requests"] += len(group)
+
+    @staticmethod
+    def _post_u8(out01, p) -> np.ndarray:
+        """Per-request post: on-device RL (or plain quantize) + fetch.
+        ``out01`` is a device fp32 HWC array; ``p`` the request payload."""
+        import jax.numpy as jnp
+
+        from ..engine import transfer
+
+        if p["rl"]:
+            from ..ops import rl_deblur
+
+            dev_u8 = rl_deblur.rl_to_u8_device(
+                out01, float(p["sigma"]), int(p["iterations"]), psf=p["psf"])
+        else:
+            dev_u8 = jnp.round(jnp.clip(jnp.asarray(out01), 0, 1) * 255
+                               ).astype(jnp.uint8)
+        return transfer.fast_get(dev_u8)
+
+    def _enqueue_and_wait(self, item, done):
         if self._closing.is_set():
             raise ServiceBusy("service is shutting down")
-        done = {"event": threading.Event()}
         try:
-            self._q.put_nowait((fn, done))
+            self._q.put_nowait(item)
         except queue.Full:
             raise ServiceBusy(
                 f"request queue full ({self._q.maxsize} pending)") from None
@@ -242,6 +344,22 @@ class DenoiseService:
         if "error" in done:
             raise done["error"]
         return done["result"]
+
+    def submit(self, fn):
+        done = {"event": threading.Event()}
+        return self._enqueue_and_wait((fn, done), done)
+
+    def submit_denoise(self, raw: np.ndarray, scale: float, rl: bool,
+                       sigma: float, iterations: int, psf: str) -> np.ndarray:
+        """Single-mode typed submission: the dispatcher may coalesce
+        CONSECUTIVE queued requests with the same (shape, dtype, scale)
+        into one engine dispatch (_run_group). RL params ride the payload —
+        they apply per request after the shared denoise."""
+        done = {"event": threading.Event()}
+        key = (raw.shape, raw.dtype.str, float(scale))
+        payload = {"raw": raw, "scale": scale, "rl": rl, "sigma": sigma,
+                   "iterations": iterations, "psf": psf}
+        return self._enqueue_and_wait(("den", key, payload, done), done)
 
     def bump(self, key: str) -> None:
         with self._stats_lock:
@@ -362,6 +480,11 @@ class DenoiseService:
                     block=False)
             except queue.Full:
                 raise ServiceBusy("request queue full") from None
+        elif self.mode == "single":
+            # typed path: concurrent same-shape requests coalesce into one
+            # engine dispatch (continuous batching — see _run_group)
+            u8 = self.submit_denoise(raw, scale, rl, float(sigma),
+                                     int(iterations), psf)
         else:
             u8 = self.submit(lambda: work(self._denoise_raw))
         bgr = u8[..., ::-1]

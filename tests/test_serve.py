@@ -107,6 +107,66 @@ def test_concurrent_requests_serialize(server):
     assert results == [200, 200, 200, 200]
 
 
+# -- cross-request coalescing (single mode) -----------------------------------
+
+
+def test_single_mode_coalesces_concurrent_requests(server):
+    """Concurrent same-shape requests queued behind a busy dispatcher must
+    run as ONE coalesced engine dispatch (continuous batching,
+    DenoiseService._run_group) and still each return the exact per-request
+    result."""
+    svc, base = server
+    import cv2
+
+    rng = np.random.default_rng(41)
+    imgs = [rng.integers(0, 65536, (120, 150, 3), dtype=np.uint16)
+            for _ in range(3)]
+    before = svc.snapshot_stats()["coalesced_requests"]
+
+    gate, release = threading.Event(), threading.Event()
+
+    def blocker():
+        gate.set()
+        assert release.wait(30)
+        return True
+
+    bt = threading.Thread(target=lambda: svc.submit(blocker))
+    bt.start()
+    assert gate.wait(10)  # dispatcher is now parked inside blocker
+
+    bodies = [None] * len(imgs)
+
+    def hit(i):
+        req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                     data=_png_bytes(imgs[i]), method="POST")
+        bodies[i] = urllib.request.urlopen(req).read()
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    # wait until all three typed jobs are queued, then release: they are
+    # consecutive and same-key, so the drain groups all of them
+    for _ in range(200):
+        if svc._q.qsize() >= len(imgs):
+            break
+        threading.Event().wait(0.05)
+    assert svc._q.qsize() >= len(imgs)
+    release.set()
+    for t in threads:
+        t.join()
+    bt.join()
+
+    assert svc.snapshot_stats()["coalesced_requests"] == before + len(imgs)
+    for img, body in zip(imgs, bodies):
+        got = cv2.imdecode(np.frombuffer(body, np.uint8),
+                           cv2.IMREAD_UNCHANGED)[..., ::-1]
+        want_f = svc._denoise01(img.astype(np.float32) / 65535.0)
+        want = np.round(np.clip(want_f, 0, 1) * 255).astype(np.uint8)
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1
+
+
 def test_bad_body_is_400(server):
     svc, base = server
     req = urllib.request.Request(base + "/denoise", data=b"not an image",
@@ -615,3 +675,65 @@ def test_fuzz_requests_never_hang_server(server):
     # service still healthy afterwards
     with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+@pytest.mark.slow  # builds two single-mode engine stacks (compiles)
+def test_coalesce_preserves_reload_order(tmp_path):
+    """A reload queued BETWEEN two denoise requests must split them: the
+    drain stops at the non-matching (generic) swap job, so the earlier
+    request runs on the old checkpoint and the later one on the new —
+    coalescing never reorders traffic around a rollover."""
+    ckpt1, ckpt2 = str(tmp_path / "g1.npz"), str(tmp_path / "g2.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=8), ckpt1)
+    params_io.save(UtNet.init(jax.random.PRNGKey(9), funit=8), ckpt2)
+    svc = serve_mod.DenoiseService("UtNet", ckpt1, cs=104, ucs=88,
+                                   compute_dtype="float32", devices=1)
+    try:
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 65536, (120, 150, 3), dtype=np.uint16)
+        # references computed on warm engines, outside the queue
+        ref_old = np.asarray(svc._adaptive.denoise_raw(img, 65535.0,
+                                                       out_dtype="uint8"))
+
+        gate, release = threading.Event(), threading.Event()
+
+        def blocker():
+            gate.set()
+            assert release.wait(30)
+            return True
+
+        bt = threading.Thread(target=lambda: svc.submit(blocker))
+        bt.start()
+        assert gate.wait(10)
+
+        results = {}
+
+        def den(tag):
+            results[tag] = svc.submit_denoise(img, 65535.0, rl=False,
+                                              sigma=1.0, iterations=1,
+                                              psf="gaussian")
+
+        ta = threading.Thread(target=den, args=("a",))
+        ta.start()
+        while svc._q.qsize() < 1:
+            threading.Event().wait(0.02)
+        tr = threading.Thread(target=lambda: svc.reload(ckpt2))
+        tr.start()
+        while svc._q.qsize() < 2:
+            threading.Event().wait(0.02)
+        tb = threading.Thread(target=den, args=("b",))
+        tb.start()
+        while svc._q.qsize() < 3:
+            threading.Event().wait(0.02)
+
+        release.set()
+        for t in (ta, tr, tb, bt):
+            t.join()
+
+        ref_new = np.asarray(svc._adaptive.denoise_raw(img, 65535.0,
+                                                       out_dtype="uint8"))
+        assert not np.array_equal(ref_old, ref_new)  # reload changed weights
+        np.testing.assert_array_equal(results["a"], ref_old)
+        np.testing.assert_array_equal(results["b"], ref_new)
+    finally:
+        svc.close()
