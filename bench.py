@@ -518,6 +518,100 @@ def bench_serve(args, cpu_mps, n_requests: int = 3):
             "vs_baseline": round(mps / measure_cpu_pipeline_mps(args.funit), 2)}
 
 
+def bench_serve_concurrent(args, cpu_mps, clients: int = 8,
+                           per_client: int = 4):
+    """Serving daemon under CONCURRENT traffic: 8 client threads post 480p
+    uint16 PNGs (full product path incl. RL x10 + JPEG encode). Requests
+    queue behind one dispatcher on the single chip, where consecutive
+    same-shape requests coalesce into one engine dispatch
+    (TileEngine.denoise_many continuous batching — PERF.md measured the
+    isolated denoise stage at 2.22x). The metric is AGGREGATE MP/s across
+    all requests; the CPU reference is the same per-image pipeline work as
+    the serve row (the reference has no serving mode, much less a
+    concurrent one)."""
+    import http.client
+    import tempfile
+    import threading
+
+    import cv2
+    import numpy as np
+
+    import jax
+
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.models.utnet import UtNet
+    from nind_denoise_tpu.pipeline import serve as serve_mod
+
+    h, w = 480, 480  # single-tile at the UtNet 504/480 geometry
+    img = (np.random.default_rng(0).random((h, w, 3)) * 65535
+           ).astype(np.uint16)
+    png = cv2.imencode(".png", img)[1].tobytes()
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "generator_1.npz")
+        params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=args.funit),
+                       ckpt)
+        svc = serve_mod.DenoiseService("UtNet", ckpt,
+                                       batch_size=args.batch or 8,
+                                       max_pending=2 * clients)
+        httpd = serve_mod.serve(svc, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            def post():
+                conn = http.client.HTTPConnection("127.0.0.1", port)
+                conn.request("POST", "/denoise?output=jpg", body=png)
+                resp = conn.getresponse()
+                body = resp.read()
+                conn.close()
+                assert resp.status == 200, (resp.status, body[:200])
+
+            post()  # warm the serial path (compiles the batch program)
+            errs: list = []
+
+            def client():
+                try:
+                    for _ in range(per_client):
+                        post()
+                except BaseException as e:  # noqa: BLE001 — surfaced below
+                    errs.append(e)
+
+            # warm the coalesced path's group-size buckets once (each is a
+            # new canvas/band shape -> compile), so the timed run is steady
+            warm = [threading.Thread(target=client) for _ in range(clients)]
+            t0 = time.perf_counter()
+            for t in warm:
+                t.start()
+            for t in warm:
+                t.join()
+            warm_dt = time.perf_counter() - t0
+            if errs:
+                raise errs[0]
+            threads = [threading.Thread(target=client)
+                       for _ in range(clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            if errs:
+                raise errs[0]
+            coalesced = svc.snapshot_stats()["coalesced_requests"]
+        finally:
+            httpd.shutdown()
+            svc.close()
+    n = clients * per_client
+    mps = n * (h * w / 1e6) / dt
+    print(f"serve_concurrent: {n} reqs in {dt:.2f}s (warm pass "
+          f"{warm_dt:.2f}s), {coalesced} coalesced across both passes",
+          file=sys.stderr)
+    return {"metric": "serve_concurrent_8x480p", "value": round(mps, 3),
+            "unit": "MP/s",
+            "vs_baseline": round(mps / measure_cpu_pipeline_mps(args.funit),
+                                 2)}
+
+
 def bench_single_tile_int8(args, cpu_mps):
     """single_tile with the opt-in int8 quantized forward (ops/qconv.py) in
     its fast variant (static calibrated scales — int8_static); same
@@ -542,6 +636,7 @@ MODES = {
     "nightmode_batch": lambda a, c, quick=False: bench_nightmode_batch(a, c),
     "train": lambda a, c, quick=False: bench_train(a, c),
     "serve": lambda a, c, quick=False: bench_serve(a, c),
+    "serve_concurrent": lambda a, c, quick=False: bench_serve_concurrent(a, c),
 }
 
 
