@@ -9,7 +9,11 @@ requests. Each request runs start-to-finish on one chip — its uploads,
 tile programs, RL post-ops, and quantize never leave that device — so N
 chips serve N requests at exactly single-chip speed (embarrassingly
 parallel; no sharding losses, no collectives, no shape coupling between
-requests).
+requests). Under backlogs DEEPER than the device count, typed submissions
+(``submit_denoise``) additionally coalesce per worker: consecutive
+same-(shape, dtype, scale) requests run as one engine dispatch
+(TileEngine.denoise_many continuous batching), bounded to each worker's
+fair share of the backlog so sibling devices never starve.
 
 The reference has no analog: its only invocation model is a fresh process
 per image (/root/reference/src/denoise.py __main__), so concurrent serving
@@ -76,6 +80,8 @@ class EnginePool:
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._closing = threading.Event()
         self._reload_lock = threading.Lock()
+        self.coalesced = 0  # requests that rode a shared dispatch
+        self._coalesce_lock = threading.Lock()
         # workers look their replica up PER JOB (not a captured object) so
         # reload() can swap checkpoints under live traffic
         self._workers = [threading.Thread(target=self._run, args=(i,),
@@ -86,25 +92,103 @@ class EnginePool:
 
     # -- worker loop -----------------------------------------------------
 
+    # max typed requests one worker coalesces into a single engine dispatch
+    MAX_COALESCE = 8
+
     def _run(self, idx: int):
+        held = None  # job popped while draining a group; runs next, in order
         while True:
-            try:
-                job = self._q.get(timeout=0.25)
-            except queue.Empty:
-                if self._closing.is_set():
-                    return
-                continue
+            if held is not None:
+                job, held = held, None
+            else:
+                try:
+                    job = self._q.get(timeout=0.25)
+                except queue.Empty:
+                    if self._closing.is_set():
+                        return
+                    continue
             if job is None:
                 return
-            fn, done = job
+            if len(job) == 2:
+                self._run_one(idx, job)
+                continue
+            # typed denoise job ("den", key, payload, done): drain
+            # consecutive same-key jobs into one coalesced dispatch
+            # (TileEngine.denoise_many continuous batching). Unlike serve's
+            # single dispatcher, greedy draining here would STARVE sibling
+            # devices — with 8 queued requests and 8 idle chips the right
+            # answer is one request per chip, not one chip doing all 8 —
+            # so each worker takes only its fair share of the current
+            # backlog (the job in hand counts toward it).
+            share = max(1, (self._q.qsize() + 1) // max(1, len(self._workers)))
+            limit = min(self.MAX_COALESCE, share)
+            group = [job]
+            saw_sentinel = False
+            while len(group) < limit:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    saw_sentinel = True
+                    break
+                if len(nxt) == 4 and nxt[1] == job[1]:
+                    group.append(nxt)
+                else:
+                    held = nxt  # runs next on THIS worker: FIFO preserved
+                    break
+            self._run_group(idx, group)
+            if saw_sentinel:
+                return
+
+    @staticmethod
+    def _fail(done, e: BaseException, what: str = "pool") -> None:
+        # the waiter must always be released (same rationale as serve's
+        # dispatcher)
+        done["error"] = (e if isinstance(e, Exception) else
+                         RuntimeError(f"fatal {what} error: {e!r}"))
+
+    def _run_one(self, idx: int, job):
+        fn, done = job
+        try:
+            done["result"] = fn(self._replicas[idx])
+        except BaseException as e:  # noqa: BLE001 — see _fail
+            self._fail(done, e)
+        finally:
+            done["event"].set()
+
+    def _run_group(self, idx: int, group):
+        """One coalesced dispatch for N same-key typed requests on THIS
+        worker's replica, then each request's ``post`` (RL/quantize/fetch —
+        params may differ per request) runs individually on the same
+        device."""
+        import time as _time
+
+        replica = self._replicas[idx]
+        payloads = [j[2] for j in group]
+        dones = [j[3] for j in group]
+        t0 = _time.perf_counter()
+        try:
+            outs = replica.denoise_many([p["raw"] for p in payloads],
+                                        payloads[0]["scale"],
+                                        out_dtype="device")
+        except BaseException as e:  # noqa: BLE001 — see _fail
+            for d in dones:
+                self._fail(d, e)
+                d["event"].set()
+            return
+        meta = {"device": replica.device, "group": len(group),
+                "elapsed": _time.perf_counter() - t0}
+        if len(group) > 1:
+            with self._coalesce_lock:
+                self.coalesced += len(group)
+        for p, out01, d in zip(payloads, outs, dones):
             try:
-                done["result"] = fn(self._replicas[idx])
-            except BaseException as e:  # noqa: BLE001 — the waiter must
-                # always be released (same rationale as serve's dispatcher)
-                done["error"] = (e if isinstance(e, Exception) else
-                                 RuntimeError(f"fatal pool error: {e!r}"))
+                d["result"] = p["post"](replica, out01, meta)
+            except BaseException as e:  # noqa: BLE001 — see _fail
+                self._fail(d, e)
             finally:
-                done["event"].set()
+                d["event"].set()
 
     # -- checkpoint rollover ----------------------------------------------
 
@@ -178,17 +262,13 @@ class EnginePool:
 
     # -- submission ------------------------------------------------------
 
-    def submit(self, fn: Callable, block: bool = True):
-        """Run ``fn(worker_engine)`` on some device's worker; returns its
-        result (re-raising its exception). block=False raises queue.Full
-        instead of waiting for queue space."""
+    def _enqueue_and_wait(self, item, done, block: bool):
         if self._closing.is_set():
             raise RuntimeError("EnginePool is closed")
-        done = {"event": threading.Event()}
         if block:
-            self._q.put((fn, done))
+            self._q.put(item)
         else:
-            self._q.put_nowait((fn, done))
+            self._q.put_nowait(item)
         # liveness loop, not a bare wait: a close() racing this submit can
         # retire every worker between the flag check above and the put, and
         # the job would then sit on a consumerless queue forever
@@ -200,6 +280,27 @@ class EnginePool:
         if "error" in done:
             raise done["error"]
         return done["result"]
+
+    def submit(self, fn: Callable, block: bool = True):
+        """Run ``fn(worker_engine)`` on some device's worker; returns its
+        result (re-raising its exception). block=False raises queue.Full
+        instead of waiting for queue space."""
+        done = {"event": threading.Event()}
+        return self._enqueue_and_wait((fn, done), done, block)
+
+    def submit_denoise(self, raw: np.ndarray, scale: float, post: Callable,
+                       block: bool = True):
+        """Typed submission a worker may COALESCE with consecutive queued
+        requests of the same (shape, dtype, scale) into one engine dispatch
+        (fair-share bounded — see _run). ``post(engine, out01_device, meta)``
+        runs per request on the owning worker afterwards (RL/quantize/fetch;
+        ``meta`` = {device, group, elapsed}); its return value is this
+        call's result."""
+        done = {"event": threading.Event()}
+        key = (raw.shape, raw.dtype.str, float(scale))
+        payload = {"raw": raw, "scale": scale, "post": post}
+        return self._enqueue_and_wait(("den", key, payload, done), done,
+                                      block)
 
     def denoise_raw(self, raw_hwc: np.ndarray, scale: float,
                     out_dtype: str = "float32"):

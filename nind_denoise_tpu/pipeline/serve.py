@@ -472,12 +472,29 @@ class DenoiseService:
             return u8
 
         if self.mode == "images":
+            rl_p = {"rl": rl, "sigma": sigma, "iterations": iterations,
+                    "psf": psf}
+
+            def post(engine, out01, meta):
+                # runs on the owning worker thread, same device as the
+                # denoise; meta["elapsed"] is the group dispatch time,
+                # attributed per request as an equal share
+                t0 = time.perf_counter()
+                u8 = self._post_u8(out01, rl_p)
+                with self._stats_lock:
+                    self.stats["busy_s"] += (meta["elapsed"] / meta["group"]
+                                             + time.perf_counter() - t0)
+                    self.stats["megapixels"] += \
+                        raw.shape[0] * raw.shape[1] / 1e6
+                    k = str(meta["device"])
+                    self.stats["per_device"][k] = \
+                        self.stats["per_device"].get(k, 0) + 1
+                    if meta["group"] > 1:
+                        self.stats["coalesced_requests"] += 1
+                return u8
+
             try:
-                u8 = self._pool.submit(
-                    lambda w: work(
-                        lambda r, s: w.denoise_raw(r, s, out_dtype="device"),
-                        device=w.device),
-                    block=False)
+                u8 = self._pool.submit_denoise(raw, scale, post, block=False)
             except queue.Full:
                 raise ServiceBusy("request queue full") from None
         elif self.mode == "single":

@@ -320,3 +320,175 @@ def test_reload_failure_is_atomic(params, monkeypatch):
                                       ref_new)
     finally:
         p.close()
+
+
+# -- typed coalescing (continuous batching per worker) -------------------------
+
+
+def test_typed_denoise_coalesces_on_one_worker(params):
+    """4 same-key typed requests queued behind a parked 1-worker pool must
+    run as ONE coalesced dispatch (share = whole backlog when there is one
+    worker), each result exactly matching the serial engine."""
+    p = EnginePool("UtNet", params, jax.local_devices()[:1],
+                   cs=104, ucs=88, compute_dtype="float32")
+    try:
+        rng = np.random.default_rng(31)
+        imgs = [rng.random((104, 104, 3), dtype=np.float32)
+                for _ in range(4)]
+        refs = [np.asarray(p._replicas[0].denoise_raw(
+            im, 1.0, out_dtype="float32")) for im in imgs]
+
+        gate, release = threading.Event(), threading.Event()
+
+        def blocker(_engine):
+            gate.set()
+            assert release.wait(30)
+            return True
+
+        bt = threading.Thread(target=lambda: p.submit(blocker))
+        bt.start()
+        assert gate.wait(10)
+
+        results = [None] * 4
+
+        def post(engine, out01, meta):
+            return np.asarray(out01), meta["group"], str(meta["device"])
+
+        def den(i):
+            results[i] = p.submit_denoise(imgs[i], 1.0, post)
+
+        threads = [threading.Thread(target=den, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for _ in range(200):
+            if p._q.qsize() >= 4:
+                break
+            threading.Event().wait(0.05)
+        assert p._q.qsize() >= 4
+        release.set()
+        for t in threads:
+            t.join()
+        bt.join()
+
+        assert p.coalesced == 4
+        for (arr, group, dev), ref in zip(results, refs):
+            assert group == 4
+            np.testing.assert_array_equal(arr, ref)
+    finally:
+        p.close()
+
+
+def test_typed_denoise_fair_share_across_workers(params):
+    """A 2-worker pool with an 8-deep same-key backlog must NOT let one
+    worker hog the whole queue: the fair-share bound caps any group at
+    ceil(backlog/workers) = 4, so both devices participate. All results
+    stay exact."""
+    p = EnginePool("UtNet", params, jax.local_devices()[:2],
+                   cs=104, ucs=88, compute_dtype="float32")
+    try:
+        rng = np.random.default_rng(32)
+        imgs = [rng.random((104, 104, 3), dtype=np.float32)
+                for _ in range(8)]
+        refs = [np.asarray(p._replicas[0].denoise_raw(
+            im, 1.0, out_dtype="float32")) for im in imgs]
+
+        gate = threading.Event()
+        release = threading.Event()
+        parked = []
+
+        def blocker(engine):
+            parked.append(engine)
+            if len(parked) == 2:
+                gate.set()
+            assert release.wait(30)
+            return True
+
+        bts = [threading.Thread(target=lambda: p.submit(blocker))
+               for _ in range(2)]
+        for t in bts:
+            t.start()
+        assert gate.wait(10)  # both workers parked
+
+        results = [None] * 8
+
+        def post(engine, out01, meta):
+            return np.asarray(out01), meta["group"]
+
+        def den(i):
+            results[i] = p.submit_denoise(imgs[i], 1.0, post)
+
+        threads = [threading.Thread(target=den, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for _ in range(200):
+            if p._q.qsize() >= 8:
+                break
+            threading.Event().wait(0.05)
+        assert p._q.qsize() >= 8
+        release.set()
+        for t in threads:
+            t.join()
+        for t in bts:
+            t.join()
+
+        for (arr, group), ref in zip(results, refs):
+            assert group <= 4, "fair-share cap violated (device starvation)"
+            np.testing.assert_array_equal(arr, ref)
+    finally:
+        p.close()
+
+
+def test_typed_mixed_with_generic_preserves_order(params):
+    """A generic job queued between typed requests stops the drain and runs
+    on the same worker AFTER the group — FIFO order is never violated."""
+    p = EnginePool("UtNet", params, jax.local_devices()[:1],
+                   cs=104, ucs=88, compute_dtype="float32")
+    try:
+        rng = np.random.default_rng(33)
+        img = rng.random((104, 104, 3), dtype=np.float32)
+        order = []
+        olock = threading.Lock()
+
+        gate, release = threading.Event(), threading.Event()
+
+        def blocker(_engine):
+            gate.set()
+            assert release.wait(30)
+            return True
+
+        bt = threading.Thread(target=lambda: p.submit(blocker))
+        bt.start()
+        assert gate.wait(10)
+
+        def post(engine, out01, meta):
+            with olock:
+                order.append("den")
+            return meta["group"]
+
+        def generic(_engine):
+            with olock:
+                order.append("gen")
+            return True
+
+        ts = [threading.Thread(target=lambda: p.submit_denoise(img, 1.0,
+                                                               post))]
+        ts[0].start()
+        while p._q.qsize() < 1:
+            threading.Event().wait(0.02)
+        ts.append(threading.Thread(target=lambda: p.submit(generic)))
+        ts[1].start()
+        while p._q.qsize() < 2:
+            threading.Event().wait(0.02)
+        ts.append(threading.Thread(target=lambda: p.submit_denoise(img, 1.0,
+                                                                   post)))
+        ts[2].start()
+        while p._q.qsize() < 3:
+            threading.Event().wait(0.02)
+
+        release.set()
+        for t in ts:
+            t.join()
+        bt.join()
+        assert order == ["den", "gen", "den"]
+    finally:
+        p.close()

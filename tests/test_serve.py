@@ -467,6 +467,70 @@ def test_pool_rl_runs_on_worker_device(server_images):
     assert out is not None and out.shape == (104, 120, 3)
 
 
+def test_pool_mode_coalesces_queued_requests(server_images):
+    """Pool mode: same-shape requests queued behind parked workers must
+    ride shared dispatches (fair-share bounded per worker) and still each
+    return the exact serial result."""
+    svc, base = server_images
+    import cv2
+
+    rng = np.random.default_rng(44)
+    img = rng.integers(0, 65536, (104, 120, 3), dtype=np.uint16)
+    payload = _png_bytes(img)
+    before = svc.snapshot_stats()["coalesced_requests"]
+    ndev = len(svc._pool.devices)
+
+    gate = threading.Event()
+    release = threading.Event()
+    parked = []
+
+    def blocker(engine):
+        parked.append(engine)
+        if len(parked) == ndev:
+            gate.set()
+        assert release.wait(30)
+        return True
+
+    bts = [threading.Thread(target=lambda: svc._pool.submit(blocker))
+           for _ in range(ndev)]
+    for t in bts:
+        t.start()
+    assert gate.wait(10)  # every worker parked
+
+    n = 2 * ndev  # backlog deep enough that fair share coalesces pairs
+    bodies = [None] * n
+
+    def hit(i):
+        req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                     data=payload, method="POST")
+        bodies[i] = urllib.request.urlopen(req).read()
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for _ in range(200):
+        if svc._pool._q.qsize() >= n:
+            break
+        threading.Event().wait(0.05)
+    assert svc._pool._q.qsize() >= n
+    release.set()
+    for t in threads:
+        t.join()
+    for t in bts:
+        t.join()
+
+    # the first worker to wake sees a backlog of 2*ndev and takes its fair
+    # share (>= 2): at least one shared dispatch must have happened
+    assert svc.snapshot_stats()["coalesced_requests"] > before
+    want = np.asarray(svc._pool.denoise_raw(img, 65535.0,
+                                            out_dtype="float32"))
+    want = np.round(np.clip(want, 0, 1) * 255).astype(np.uint8)
+    for body in bodies:
+        got = cv2.imdecode(np.frombuffer(body, np.uint8),
+                           cv2.IMREAD_UNCHANGED)[..., ::-1]
+        np.testing.assert_array_equal(got, want)
+
+
 def test_pool_reload_all_replicas_roll(server_images, tmp_path):
     """POST /reload in ``images`` mode must leave every device replica on
     the new checkpoint: concurrent post-reload requests (spread across
