@@ -360,6 +360,18 @@ class TileEngine:
     # coalescing win is for images whose tile count UNDERFILLS a batch)
     MAX_GROUP_SUBPIXELS = 64 << 20
 
+    def group_fits(self, n: int, height: int, width: int,
+                   channels: int = 3) -> bool:
+        """Whether a coalesced group of ``n`` (height, width) images fits
+        the stacked-band budget — the same arithmetic denoise_many guards
+        with, exposed so policy layers (AdaptiveEngine) can decide the
+        per-image fallback WITHOUT exception-driven control flow."""
+        plan = self.plan_for(height, width)
+        ph = plan.ipervl * plan.stride + self.cs
+        wb = _bucket(width + plan.pad_left + plan.pad_right)
+        nb = 1 << (n - 1).bit_length()
+        return nb * ph * wb * channels <= self.MAX_GROUP_SUBPIXELS
+
     def denoise_many(self, raws, scale: float, out_dtype: str = "float32"):
         with self._placement():
             return self._denoise_many_impl(list(raws), scale, out_dtype)
@@ -835,27 +847,36 @@ class AdaptiveEngine:
 
     def denoise_many(self, raws, scale: float, out_dtype: str = "float32"):
         """Coalesced same-shape group denoise (TileEngine.denoise_many)
-        with every fallback handled: mixed shapes, tiny images, groups over
-        the stacked-band budget, and int8_static (whose per-image scale
-        calibration is worth more than batch fill) all take the per-image
-        path. Always returns per-image results in input order — one
-        (N, H, W, C) array for host dtypes, a list for 'device'."""
+        with every fallback handled as POLICY, not exceptions: mixed
+        shapes, tiny images, groups over the stacked-band budget,
+        int8_static (whose per-image scale calibration is worth more than
+        batch fill), and images whose tile count already FILLS the batch
+        (no fill win, and the per-image streamed path overlaps
+        uploads/compute where the stacked band cannot — review r3) all
+        take the per-image path. Always returns per-image results in
+        input order — one (N, H, W, C) array for same-shape host dtypes,
+        a list for 'device' or mixed shapes."""
         raws = list(raws)
-        serial = (len(raws) < 2
-                  or self._kw.get("compute_dtype") == "int8_static"
-                  or any(r.shape != raws[0].shape or r.dtype != raws[0].dtype
-                         for r in raws[1:]))
-        if not serial:
+        same = (len(raws) >= 2
+                and all(r.shape == raws[0].shape and r.dtype == raws[0].dtype
+                        for r in raws[1:]))
+        if same and self._kw.get("compute_dtype") != "int8_static":
+            h, w = raws[0].shape[:2]
             try:
-                cs, ucs = tiles_mod.adapt_cs_ucs(
-                    raws[0].shape[0], raws[0].shape[1], self.cs, self.ucs,
-                    check=self._check)
-                return self._engine_for(cs, ucs).denoise_many(
-                    raws, scale, out_dtype=out_dtype)
-            except (tiles_mod.TilingError, ValueError):
-                pass  # tiny image or over budget: per-image below
+                cs, ucs = tiles_mod.adapt_cs_ucs(h, w, self.cs, self.ucs,
+                                                 check=self._check)
+            except tiles_mod.TilingError:
+                cs = None  # below the minimum tiling: per-image tiny path
+            if cs is not None:
+                eng = self._engine_for(cs, ucs)
+                if (eng.plan_for(h, w).ntiles < eng.batch_size
+                        and eng.group_fits(len(raws), h, w,
+                                           raws[0].shape[2])):
+                    return eng.denoise_many(raws, scale, out_dtype=out_dtype)
         outs = [self.denoise_raw(r, scale, out_dtype=out_dtype)
                 for r in raws]
         if out_dtype == "device":
             return outs
-        return np.stack(outs)
+        if all(o.shape == outs[0].shape for o in outs[1:]):
+            return np.stack(outs)
+        return outs  # mixed shapes cannot stack

@@ -132,16 +132,22 @@ def calib_from_image(img01, size: int = 136, scale: float = 1.0):
         h, w = img01.shape[:2]
     ys = [0, h - size, 0, h - size, (h - size) // 2]
     xs = [0, 0, w - size, w - size, (w - size) // 2]
-    # brightest-pixel probe on a strided subsample: an exact argmax needs
-    # an H*W reduction temporary (uint16 sums promote to uint64 — ~190 MB
-    # at 24 MP) per call, which the serve path pays PER REQUEST under
-    # int8_static auto-recalibration. A stride-s grid lands within s px of
-    # the true maximum, and the size//2 crop margin (>= 68 px) dwarfs any
-    # stride used here; float32 keeps the temp at 4 bytes/px.
-    s = max(1, int(np.sqrt(h * w / 1e6)))  # subsample to ~1 MP
-    lum = img01[::s, ::s].sum(axis=2, dtype=np.float32)
-    iy, ix = np.unravel_index(np.argmax(lum), lum.shape)
-    iy, ix = int(iy) * s, int(ix) * s
+    # EXACT brightest-pixel probe in bounded memory: a whole-image argmax
+    # temporary (uint16 sums promote to uint64 — ~190 MB at 24 MP) is too
+    # big to pay PER REQUEST under int8_static auto-recalibration, but a
+    # strided subsample can MISS a narrow specular highlight entirely
+    # (review r3) — and clipped highlights are precisely what this crop
+    # exists to put in the calibration range. Row-strip reduction keeps
+    # the temporary at ~8 MB float32 while staying exact.
+    strip = max(1, 2_000_000 // max(w, 1))
+    best, iy, ix = -np.inf, 0, 0
+    for y0 in range(0, h, strip):
+        lum = img01[y0:y0 + strip].sum(axis=2, dtype=np.float32)
+        j = int(np.argmax(lum))
+        v = float(lum.flat[j])
+        if v > best:
+            best = v
+            iy, ix = y0 + j // lum.shape[1], j % lum.shape[1]
     ys.append(int(np.clip(iy - size // 2, 0, h - size)))
     xs.append(int(np.clip(ix - size // 2, 0, w - size)))
     crops = [img01[y:y + size, x:x + size].astype(np.float32) / scale

@@ -96,50 +96,24 @@ class EnginePool:
     MAX_COALESCE = 8
 
     def _run(self, idx: int):
-        held = None  # job popped while draining a group; runs next, in order
-        while True:
-            if held is not None:
-                job, held = held, None
-            else:
-                try:
-                    job = self._q.get(timeout=0.25)
-                except queue.Empty:
-                    if self._closing.is_set():
-                        return
-                    continue
-            if job is None:
-                return
-            if len(job) == 2:
-                self._run_one(idx, job)
-                continue
-            # typed denoise job ("den", key, payload, done): drain
-            # consecutive same-key jobs into one coalesced dispatch
-            # (TileEngine.denoise_many continuous batching). Unlike serve's
-            # single dispatcher, greedy draining here would STARVE sibling
-            # devices — with 8 queued requests and 8 idle chips the right
-            # answer is one request per chip, not one chip doing all 8 —
-            # so each worker takes only its fair share of the current
-            # backlog (the job in hand counts toward it).
-            share = max(1, (self._q.qsize() + 1) // max(1, len(self._workers)))
-            limit = min(self.MAX_COALESCE, share)
-            group = [job]
-            saw_sentinel = False
-            while len(group) < limit:
-                try:
-                    nxt = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    saw_sentinel = True
-                    break
-                if len(nxt) == 4 and nxt[1] == job[1]:
-                    group.append(nxt)
-                else:
-                    held = nxt  # runs next on THIS worker: FIFO preserved
-                    break
-            self._run_group(idx, group)
-            if saw_sentinel:
-                return
+        # per-device consumer over generic jobs + typed denoise jobs
+        # (shared drain machinery: utils/workqueue.consume). Unlike serve's
+        # single dispatcher, greedy draining here would STARVE sibling
+        # devices — with 8 queued requests and 8 idle chips the right
+        # answer is one request per chip, not one chip doing all 8 — so
+        # each worker's drain limit is its fair share of the current
+        # backlog (the job in hand counts toward it).
+        from ..utils import workqueue
+
+        def fair_share() -> int:
+            share = max(1, (self._q.qsize() + 1)
+                        // max(1, len(self._workers)))
+            return min(self.MAX_COALESCE, share)
+
+        workqueue.consume(self._q, self._closing,
+                          lambda job: self._run_one(idx, job),
+                          lambda group: self._run_group(idx, group),
+                          fair_share, get_timeout=0.25)
 
     @staticmethod
     def _fail(done, e: BaseException, what: str = "pool") -> None:

@@ -218,45 +218,12 @@ class DenoiseService:
     MAX_COALESCE = 8
 
     def _run(self):
-        held = None  # job popped while draining a group; runs next, in order
-        while True:
-            if held is not None:
-                job, held = held, None
-            else:
-                try:
-                    job = self._q.get(timeout=0.5)
-                except queue.Empty:
-                    if self._closing.is_set():
-                        return
-                    continue
-            if job is None:
-                return
-            if len(job) == 2:
-                self._run_one(job)
-                continue
-            # typed denoise job ("den", key, payload, done): drain CONSECUTIVE
-            # same-key jobs into one coalesced engine dispatch. A non-matching
-            # job (different shape/scale, or a generic job like a reload swap)
-            # stops the drain and runs AFTER the group — it was queued after
-            # every group member, so FIFO order is preserved exactly.
-            group = [job]
-            saw_sentinel = False
-            while len(group) < self.MAX_COALESCE:
-                try:
-                    nxt = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    saw_sentinel = True
-                    break
-                if len(nxt) == 4 and nxt[1] == job[1]:
-                    group.append(nxt)
-                else:
-                    held = nxt
-                    break
-            self._run_group(group)
-            if saw_sentinel:
-                return
+        # one dispatcher over generic jobs + typed denoise jobs, the latter
+        # coalesced per drain (shared machinery: utils/workqueue.consume)
+        from ..utils import workqueue
+
+        workqueue.consume(self._q, self._closing, self._run_one,
+                          self._run_group, lambda: self.MAX_COALESCE)
 
     @staticmethod
     def _fail(done, e: BaseException) -> None:
@@ -441,39 +408,20 @@ class DenoiseService:
         scale = {np.uint8: 255.0, np.uint16: 65535.0}.get(arr.dtype.type, 1.0)
         raw = np.ascontiguousarray(arr[..., ::-1])
 
-        def work(denoise, device=None):
-            """Denoise + on-device RL + quantize + fetch. Runs wholly on
-            the thread that owns the target device (the dispatcher, or a
-            pool worker — then `device` tags the stats)."""
-            import jax.numpy as jnp
+        rl_p = {"rl": rl, "sigma": sigma, "iterations": iterations,
+                "psf": psf}
 
-            from ..engine import transfer
-
+        def work(denoise):
+            """Denoise + the shared post recipe (_post_u8) on the
+            dispatcher thread — the shard-mode path."""
             t0 = time.perf_counter()
-            out01 = denoise(raw, scale)  # device (or host) fp32
-            if rl:
-                from ..ops import rl_deblur
-
-                # shared RL + gmic-quantize recipe (one definition with the
-                # pipeline CLI: ops/rl_deblur.rl_to_u8_device)
-                dev_u8 = rl_deblur.rl_to_u8_device(
-                    out01, float(sigma), int(iterations), psf=psf)
-            else:
-                dev_u8 = jnp.round(jnp.clip(jnp.asarray(out01), 0, 1) * 255
-                                   ).astype(jnp.uint8)
-            u8 = transfer.fast_get(dev_u8)
+            u8 = self._post_u8(denoise(raw, scale), rl_p)
             with self._stats_lock:
                 self.stats["busy_s"] += time.perf_counter() - t0
                 self.stats["megapixels"] += raw.shape[0] * raw.shape[1] / 1e6
-                if device is not None:
-                    k = str(device)
-                    self.stats["per_device"][k] = \
-                        self.stats["per_device"].get(k, 0) + 1
             return u8
 
         if self.mode == "images":
-            rl_p = {"rl": rl, "sigma": sigma, "iterations": iterations,
-                    "psf": psf}
 
             def post(engine, out01, meta):
                 # runs on the owning worker thread, same device as the

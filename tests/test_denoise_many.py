@@ -131,10 +131,41 @@ def test_group_budget_raises():
 # -- AdaptiveEngine wrapper ---------------------------------------------------
 
 
-def test_adaptive_group_coalesces(utnet_params):
+def test_adaptive_group_coalesces(utnet_params, monkeypatch):
+    """Underfilled same-shape groups must take the COALESCED path (proved
+    by counting TileEngine.denoise_many calls, so a silent serial fallback
+    cannot masquerade as coalescing — review r3) and match the per-image
+    results exactly."""
+    ada = AdaptiveEngine("UtNet", utnet_params, cs=104, ucs=88,
+                         compute_dtype="float32", batch_size=8)
+    imgs = _imgs(3, 150, 170, seed=6)  # 2x2 grid = 4 tiles < batch 8
+    calls = {"n": 0}
+    real = TileEngine.denoise_many
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(TileEngine, "denoise_many", counting)
+    got = ada.denoise_many(imgs, 1.0, out_dtype="float32")
+    assert calls["n"] == 1
+    for i, im in enumerate(imgs):
+        np.testing.assert_array_equal(
+            got[i], ada.denoise_raw(im, 1.0, out_dtype="float32"))
+
+
+def test_adaptive_full_batches_stay_serial(utnet_params, monkeypatch):
+    """Images whose tile count already fills the batch gain nothing from
+    coalescing and LOSE the streamed path's upload/compute overlap, so the
+    policy must keep them per-image (review r3)."""
     ada = AdaptiveEngine("UtNet", utnet_params, cs=104, ucs=88,
                          compute_dtype="float32", batch_size=4)
-    imgs = _imgs(3, 150, 170, seed=6)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("coalesced path must not engage")
+
+    monkeypatch.setattr(TileEngine, "denoise_many", boom)
+    imgs = _imgs(2, 150, 170, seed=10)  # 2x2 grid = 4 tiles == batch 4
     got = ada.denoise_many(imgs, 1.0, out_dtype="float32")
     for i, im in enumerate(imgs):
         np.testing.assert_array_equal(
@@ -143,7 +174,8 @@ def test_adaptive_group_coalesces(utnet_params):
 
 def test_adaptive_group_mixed_shapes_fall_back(utnet_params):
     """Mixed shapes must still produce correct per-image results (serial
-    fallback), not raise."""
+    fallback) for BOTH 'device' (list) and host dtypes (list — the shapes
+    cannot stack; review r3 found np.stack crashing here)."""
     ada = AdaptiveEngine("UtNet", utnet_params, cs=104, ucs=88,
                          compute_dtype="float32", batch_size=4)
     imgs = [_imgs(1, 150, 170, seed=7)[0], _imgs(1, 120, 140, seed=8)[0]]
@@ -151,6 +183,11 @@ def test_adaptive_group_mixed_shapes_fall_back(utnet_params):
     for o, im in zip(got, imgs):
         np.testing.assert_array_equal(
             np.asarray(o), ada.denoise_raw(im, 1.0, out_dtype="float32"))
+    host = ada.denoise_many(imgs, 1.0, out_dtype="float32")
+    assert isinstance(host, list) and len(host) == 2
+    for o, im in zip(host, imgs):
+        np.testing.assert_array_equal(
+            o, ada.denoise_raw(im, 1.0, out_dtype="float32"))
 
 
 def test_adaptive_group_tiny_falls_back(utnet_params):

@@ -173,6 +173,21 @@ def test_calib_from_image_geometry():
     assert small.shape == (6, 136, 136, 3) and np.isfinite(small).all()
 
 
+def test_calib_finds_isolated_highlight_in_large_image():
+    """The brightest-pixel probe must be EXACT even on large images: a
+    single-pixel specular highlight at a deliberately awkward offset
+    (prime coordinates — off any coarse sampling grid) must land in a
+    calibration crop, since clipped highlights are precisely what the
+    brightest crop exists to put in the int8 activation range
+    (review r3: a strided subsample missed narrow highlights)."""
+    from nind_denoise_tpu.ops.qconv import calib_from_image
+
+    img = np.full((2003, 3001, 3), 0.1, np.float32)
+    img[1231, 2741] = 1.0  # isolated 1-px highlight, prime coords
+    c = np.asarray(calib_from_image(img, size=136))
+    assert c.max() == 1.0
+
+
 def test_int8_static_hlo_stable_across_calibrations():
     """The calibrated scales must ride as TRACED leaves, not closure
     constants: per-image calibration (the CLI's calib_from_image) must
