@@ -312,6 +312,9 @@ class EnginePool:
             except queue.Empty:
                 return
             if job is not None:
-                job[1]["error"] = RuntimeError(
+                # done-dict is the LAST element in both job layouts:
+                # generic (fn, done) and typed ("den", key, payload, done)
+                done = job[-1]
+                done["error"] = RuntimeError(
                     "EnginePool closed before the job ran")
-                job[1]["event"].set()
+                done["event"].set()

@@ -270,6 +270,26 @@ def test_close_releases_pending_waiters(params):
     assert isinstance(done.get("error"), RuntimeError)
 
 
+def test_close_releases_pending_typed_waiters(params):
+    """Same as above but with a TYPED ("den", key, payload, done) 4-tuple
+    job: the done-dict is the LAST element, not job[1] — a drain that
+    assumed the generic layout raised TypeError on the key tuple and died,
+    stranding every job behind it (regression, round 3)."""
+    p = EnginePool("UtNet", params, jax.local_devices()[:2],
+                   cs=104, ucs=88, compute_dtype="float32")
+    p.close()
+    typed_done = {"event": threading.Event()}
+    generic_done = {"event": threading.Event()}
+    key = ((8, 8, 3), "<f4", 1.0)
+    p._q.put(("den", key, {"raw": None, "scale": 1.0, "post": None},
+              typed_done))
+    p._q.put((lambda w: "never", generic_done))  # behind the typed job
+    p.close()  # drain pass must survive the 4-tuple and reach this one
+    for done in (typed_done, generic_done):
+        assert done["event"].is_set()
+        assert isinstance(done.get("error"), RuntimeError)
+
+
 def test_reload_failure_is_atomic(params, monkeypatch):
     """A per-device rebuild failure mid-rollover must leave EVERY replica
     on the OLD checkpoint (all-or-nothing swap via the second barrier
