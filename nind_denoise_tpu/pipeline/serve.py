@@ -35,7 +35,9 @@ Design:
 Endpoints:
 
 * ``GET  /healthz``            -> {"status": "ok", "devices": N, ...}
-* ``GET  /stats``              -> request counters + timing
+* ``GET  /stats``              -> request counters + timing, incl. a
+  ``latency_ms`` block (p50/p95/p99/mean/max over the last 1024 requests,
+  measured decode -> fetched result so queue wait counts)
 * ``POST /denoise``            -> body: encoded image (png/jpg/tiff bytes);
   query params: ``output`` (jpg|png|tiff, default jpg), ``quality`` (jpeg,
   default 90), ``rl`` (1|0, default 1 — RL-deblur like the pipeline),
@@ -97,6 +99,13 @@ class DenoiseService:
                       "busy_s": 0.0, "reloads": 0, "per_device": {},
                       "coalesced_requests": 0}
         self._stats_lock = threading.Lock()
+        # per-request wall latency (decode -> fetched result, i.e. queue
+        # wait + denoise + post), last LATENCY_WINDOW requests — the /stats
+        # p50/p95/p99 an operator alerts on. Bounded so a long-lived daemon
+        # never grows it.
+        import collections
+
+        self._latencies = collections.deque(maxlen=self.LATENCY_WINDOW)
 
         self._pool = None
         self._q = None
@@ -332,11 +341,23 @@ class DenoiseService:
         with self._stats_lock:
             self.stats[key] += 1
 
+    # sliding-window size for the latency percentiles in /stats
+    LATENCY_WINDOW = 1024
+
     def snapshot_stats(self) -> dict:
         with self._stats_lock:
             s = dict(self.stats)
             s["per_device"] = dict(s["per_device"])
-            return s
+            lat = np.asarray(self._latencies, np.float64)
+        if lat.size:
+            p50, p95, p99 = np.percentile(lat, [50, 95, 99])
+            s["latency_ms"] = {"window": int(lat.size),
+                               "mean": round(float(lat.mean()) * 1e3, 2),
+                               "p50": round(float(p50) * 1e3, 2),
+                               "p95": round(float(p95) * 1e3, 2),
+                               "p99": round(float(p99) * 1e3, 2),
+                               "max": round(float(lat.max()) * 1e3, 2)}
+        return s
 
     def reload(self, model_path: str) -> dict:
         """Hot checkpoint rollover (``POST /reload?model_path=...``): load
@@ -401,6 +422,7 @@ class DenoiseService:
             # reject BEFORE the denoise: a bad query param must not burn
             # seconds of device time on work whose encode will 400 anyway
             raise ValueError(f"unsupported output format {output!r}")
+        t_req = time.perf_counter()
         arr = cv2.imdecode(np.frombuffer(data, np.uint8),
                            cv2.IMREAD_COLOR + cv2.IMREAD_ANYDEPTH)
         if arr is None:
@@ -452,6 +474,8 @@ class DenoiseService:
                                      int(iterations), psf)
         else:
             u8 = self.submit(lambda: work(self._denoise_raw))
+        with self._stats_lock:
+            self._latencies.append(time.perf_counter() - t_req)
         bgr = u8[..., ::-1]
         if output in ("jpg", "jpeg"):
             ok, buf = cv2.imencode(".jpg", bgr,

@@ -72,6 +72,26 @@ def test_denoise_roundtrip_matches_engine(server):
     assert diff.max() <= 1
 
 
+def test_stats_latency_percentiles(server):
+    """/stats grows a latency_ms block once requests have flowed: a
+    sliding-window p50/p95/p99/mean/max in milliseconds, measured from
+    decode to fetched result (queue wait included) — the operator alert
+    surface documented in docs/OPERATIONS.md."""
+    svc, base = server
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65536, (96, 96, 3), dtype=np.uint16)
+    for _ in range(2):
+        req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                     data=_png_bytes(img), method="POST")
+        urllib.request.urlopen(req).read()
+    s = json.loads(urllib.request.urlopen(base + "/stats").read())
+    lat = s["latency_ms"]
+    assert lat["window"] >= 2
+    assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"] <= lat["max"]
+    # ordering invariants only — absolute values are host-dependent
+    assert lat["mean"] <= lat["max"]
+
+
 def test_denoise_with_rl(server):
     svc, base = server
     import cv2
