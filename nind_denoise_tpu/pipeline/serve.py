@@ -357,6 +357,12 @@ class DenoiseService:
                                "p95": round(float(p95) * 1e3, 2),
                                "p99": round(float(p99) * 1e3, 2),
                                "max": round(float(lat.max()) * 1e3, 2)}
+        else:
+            # Always present (docs/API.md documents it unconditionally): a
+            # dashboard scraping a fresh/idle daemon must not KeyError on
+            # latency_ms.p95 — it reads null percentiles over window 0.
+            s["latency_ms"] = {"window": 0, "mean": None, "p50": None,
+                               "p95": None, "p99": None, "max": None}
         return s
 
     def reload(self, model_path: str) -> dict:
@@ -443,6 +449,34 @@ class DenoiseService:
                 self.stats["megapixels"] += raw.shape[0] * raw.shape[1] / 1e6
             return u8
 
+        try:
+            u8 = self._dispatch_denoise(raw, scale, rl_p, rl, sigma,
+                                        iterations, psf, work)
+        finally:
+            # Failures count too: a request that errors after its queue
+            # wait (engine/dispatch raise) must still enter the latency
+            # window, or slow-then-failing traffic is invisible to the
+            # p95/p99 an operator alerts on (ADVICE r3).
+            with self._stats_lock:
+                self._latencies.append(time.perf_counter() - t_req)
+        bgr = u8[..., ::-1]
+        if output in ("jpg", "jpeg"):
+            ok, buf = cv2.imencode(".jpg", bgr,
+                                   [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
+        elif output == "png":
+            ok, buf = cv2.imencode(".png", bgr)
+        elif output == "tiff":
+            ok, buf = cv2.imencode(".tiff", bgr)
+        else:
+            raise ValueError(f"unsupported output format {output!r}")
+        if not ok:
+            raise RuntimeError(f"encode to {output} failed")
+        return buf.tobytes()
+
+    def _dispatch_denoise(self, raw, scale, rl_p, rl, sigma, iterations,
+                          psf, work):
+        """Route one decoded request to the mode's engine path; returns the
+        post-processed uint8 HWC image."""
         if self.mode == "images":
 
             def post(engine, out01, meta):
@@ -474,21 +508,7 @@ class DenoiseService:
                                      int(iterations), psf)
         else:
             u8 = self.submit(lambda: work(self._denoise_raw))
-        with self._stats_lock:
-            self._latencies.append(time.perf_counter() - t_req)
-        bgr = u8[..., ::-1]
-        if output in ("jpg", "jpeg"):
-            ok, buf = cv2.imencode(".jpg", bgr,
-                                   [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
-        elif output == "png":
-            ok, buf = cv2.imencode(".png", bgr)
-        elif output == "tiff":
-            ok, buf = cv2.imencode(".tiff", bgr)
-        else:
-            raise ValueError(f"unsupported output format {output!r}")
-        if not ok:
-            raise RuntimeError(f"encode to {output} failed")
-        return buf.tobytes()
+        return u8
 
 
 def make_handler(svc: DenoiseService):

@@ -92,6 +92,45 @@ def test_stats_latency_percentiles(server):
     assert lat["mean"] <= lat["max"]
 
 
+def test_fresh_service_stats_have_latency_block(tmp_path):
+    """The latency_ms block is documented as unconditional (docs/API.md):
+    a dashboard scraping an idle daemon must see window 0 + null
+    percentiles, not a KeyError (ADVICE r3)."""
+    ckpt = str(tmp_path / "generator_1.npz")
+    params_io.save(UtNet.init(jax.random.PRNGKey(0), funit=8), ckpt)
+    svc = serve_mod.DenoiseService("UtNet", ckpt, cs=104, ucs=88,
+                                   compute_dtype="float32", devices=1)
+    try:
+        lat = svc.snapshot_stats()["latency_ms"]
+        assert lat == {"window": 0, "mean": None, "p50": None,
+                       "p95": None, "p99": None, "max": None}
+    finally:
+        svc.close()
+
+
+def test_failed_dispatch_still_records_latency(server):
+    """A request that errors after its queue wait must still enter the
+    latency window — otherwise slow-then-failing traffic is invisible to
+    the p95/p99 operators alert on (ADVICE r3)."""
+    svc, base = server
+    before = svc.snapshot_stats()["latency_ms"]["window"]
+    img = np.random.default_rng(3).integers(0, 65536, (96, 96, 3),
+                                            dtype=np.uint16)
+    data = _png_bytes(img)
+    orig = svc._dispatch_denoise
+
+    def boom(*a, **k):
+        raise RuntimeError("engine blew up")
+
+    svc._dispatch_denoise = boom
+    try:
+        with pytest.raises(RuntimeError):
+            svc.denoise_bytes(data, output="png")
+    finally:
+        svc._dispatch_denoise = orig
+    assert svc.snapshot_stats()["latency_ms"]["window"] == before + 1
+
+
 def test_denoise_with_rl(server):
     svc, base = server
     import cv2
