@@ -26,6 +26,32 @@ import numpy as np
 import pytest
 
 
+def _ensure_native_built() -> None:
+    """Build native/build/libtileio.so once per checkout when a C++
+    toolchain exists, so tests/test_native.py actually runs in CI
+    conditions instead of permanently skipping (VERDICT r3). The skip
+    remains only where no compiler is present. Runs at conftest import —
+    before test_native.py's collection-time ``native.available()`` check."""
+    import shutil
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "build", "libtileio.so")
+    if os.path.isfile(so):
+        return
+    if not (shutil.which("g++") or shutil.which("c++")):
+        return
+    try:
+        subprocess.run(["sh", os.path.join(root, "native", "build.sh")],
+                       capture_output=True, timeout=300, check=True)
+    except (subprocess.SubprocessError, OSError) as e:
+        print(f"conftest: native build failed ({e}); native tests will skip",
+              file=sys.stderr)
+
+
+_ensure_native_built()
+
+
 @pytest.fixture(scope="session")
 def fixture_images(tmp_path_factory):
     """Small deterministic 8-bit and 16-bit test images on disk."""
