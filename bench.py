@@ -1,10 +1,17 @@
 """Benchmark: the BASELINE.md scorecard on one TPU chip.
 
-Prints ONE JSON line. With no args (the driver's invocation) it runs ALL
-BASELINE configs and emits the 24 MP tiled headline at the top level plus
-the full scorecard:
+With no args (the driver's invocation) it runs ALL BASELINE configs and
+emits the 24 MP tiled headline at the top level plus the full scorecard:
   {"metric": "denoise_throughput_24mp", "value": <MP/s>, "unit": "MP/s",
    "vs_baseline": <TPU MP/s / torch-CPU MP/s>, "scorecard": [<all modes>]}
+
+The line is (re-)printed cumulatively after EVERY completed mode — each
+stdout line is a complete, parseable scorecard-so-far (non-final lines
+carry "partial": true; the last line printed is always the most complete)
+— and mirrored to BENCH_partial.json. A wall-clock budget (--budget /
+NIND_BENCH_BUDGET_S, default 2400 s) skips not-yet-run modes near the
+deadline so a driver timeout can never produce an empty artifact again
+(round 3's rc=124 lost every measured number).
 
 ``--mode <name>`` runs a single config and prints just its line.
 
@@ -20,6 +27,7 @@ Usage: python bench.py [--quick] [--mode M] [--batch N]
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -27,6 +35,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_partial.json")
+
+# Wall-clock deadline for the full-scorecard run (set in main from
+# --budget / NIND_BENCH_BUDGET_S). Round 3's driver run was killed by
+# `timeout` before the single end-of-run JSON line ever printed (rc=124,
+# BENCH_r03.json parsed=null) — every number already measured was lost.
+# The budget + incremental emission below make that impossible: remaining
+# modes are skipped (not silently lost) when the deadline nears, and the
+# cumulative scorecard line is re-printed after EVERY mode.
+_DEADLINE: float | None = None
+
+
+def _budget_left() -> float:
+    return float("inf") if _DEADLINE is None else _DEADLINE - time.time()
 
 
 def _host_tag() -> str:
@@ -57,6 +80,11 @@ def _save_baseline_cache(cache: dict) -> None:
         json.dump(cache, f, indent=1)
 
 
+def _ratio(value: float, base) -> float | None:
+    """vs_baseline ratio, null when the CPU baseline was budget-skipped."""
+    return None if not base else round(value / base, 2)
+
+
 def _build_torch_model(funit: int):
     import torch
 
@@ -68,12 +96,17 @@ def _build_torch_model(funit: int):
     return build_torch_utnet(funit=funit)
 
 
-def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 3) -> float:
-    """torch-CPU UtNet MP/s on one tile (median of ``reps`` runs, cached)."""
+def measure_cpu_baseline(funit: int = 64, cs: int = 504, reps: int = 3):
+    """torch-CPU UtNet MP/s on one tile (median of ``reps`` runs, cached).
+    Returns None (-> vs_baseline null) when the run's wall-clock budget is
+    too tight to re-measure on a migrated host — a null ratio beats an
+    empty scorecard."""
     cache = _load_baseline_cache()
     if cache.get("reps", 0) >= reps and "cpu_mps" in cache \
             and cache.get("funit") == funit:
         return cache["cpu_mps"]
+    if _budget_left() < 240:
+        return None
     import statistics
 
     import numpy as np
@@ -134,6 +167,8 @@ def measure_cpu_rl_mps(reps: int = 2) -> float:
     cache = _load_baseline_cache()
     if "rl_cpu_mps" in cache:
         return cache["rl_cpu_mps"]
+    if _budget_left() < 180:
+        return None
     import numpy as np
     import torch
 
@@ -163,6 +198,8 @@ def measure_cpu_pipeline_mps(funit: int = 64) -> float:
     cache = _load_baseline_cache()
     if key in cache:
         return cache[key]
+    if _budget_left() < 420:  # ~4 min to measure cold on this 1-core host
+        return None
     import tempfile
 
     import cv2
@@ -219,6 +256,8 @@ def measure_cpu_train_crops_s(funit: int = 64, bs: int = 30,
     cache = _load_baseline_cache()
     if key in cache:
         return cache[key]
+    if _budget_left() < 420:
+        return None
     import numpy as np
     import torch
 
@@ -277,7 +316,7 @@ def bench_tiled(args, cpu_mps, quick=False):
     return {"metric": "denoise_throughput_24mp" if not quick else
             "denoise_throughput_6mp",
             "value": round(mps, 3), "unit": "MP/s",
-            "vs_baseline": round(mps / cpu_mps, 2)}
+            "vs_baseline": _ratio(mps, cpu_mps)}
 
 
 def bench_single_tile(args, cpu_mps):
@@ -318,7 +357,7 @@ def bench_single_tile(args, cpu_mps):
     dt = (time.perf_counter() - t0) / reps
     mps = (batch * 480 * 480 / 1e6) / dt
     return {"metric": "single_tile_compute", "value": round(mps, 2),
-            "unit": "MP/s", "vs_baseline": round(mps / cpu_mps, 2)}
+            "unit": "MP/s", "vs_baseline": _ratio(mps, cpu_mps)}
 
 
 def bench_rl(args, cpu_mps):
@@ -341,7 +380,7 @@ def bench_rl(args, cpu_mps):
     mps = 6.0 / dt
     return {"metric": "rl_deblur_6mp_10iter", "value": round(mps, 2),
             "unit": "MP/s",
-            "vs_baseline": round(mps / measure_cpu_rl_mps(), 2)}
+            "vs_baseline": _ratio(mps, measure_cpu_rl_mps())}
 
 
 def bench_pipeline(args, cpu_mps):
@@ -375,7 +414,7 @@ def bench_pipeline(args, cpu_mps):
     mps = 6.0 / dt
     return {"metric": "pipeline_tiff_to_jpg_6mp", "value": round(mps, 3),
             "unit": "MP/s",
-            "vs_baseline": round(mps / measure_cpu_pipeline_mps(args.funit), 2)}
+            "vs_baseline": _ratio(mps, measure_cpu_pipeline_mps(args.funit))}
 
 
 def bench_nightmode_batch(args, cpu_mps, n_images: int = 4):
@@ -417,10 +456,10 @@ def bench_nightmode_batch(args, cpu_mps, n_images: int = 4):
         dt = (time.perf_counter() - t0) / (n_images - 1)
     mps = 6.0 / dt
     measure_cpu_pipeline_mps(args.funit)  # ensures the nightmode key cached
-    night_cpu = _load_baseline_cache()[f"nightmode_cpu_mps_f{args.funit}"]
+    night_cpu = _load_baseline_cache().get(f"nightmode_cpu_mps_f{args.funit}")
     return {"metric": "nightmode_batch_per_image_6mp",
             "value": round(mps, 3), "unit": "MP/s",
-            "vs_baseline": round(mps / night_cpu, 2)}
+            "vs_baseline": _ratio(mps, night_cpu)}
 
 
 def bench_train(args, cpu_mps):
@@ -460,7 +499,7 @@ def bench_train(args, cpu_mps):
     cps = bs / dt
     return {"metric": "train_crops_per_s_utnet_std", "value": round(cps, 2),
             "unit": "crops/s",
-            "vs_baseline": round(cps / measure_cpu_train_crops_s(args.funit), 2)}
+            "vs_baseline": _ratio(cps, measure_cpu_train_crops_s(args.funit))}
 
 
 def bench_serve(args, cpu_mps, n_requests: int = 3):
@@ -515,7 +554,7 @@ def bench_serve(args, cpu_mps, n_requests: int = 3):
     mps = (h * w / 1e6) / dt
     return {"metric": "serve_http_per_request_3mp", "value": round(mps, 3),
             "unit": "MP/s",
-            "vs_baseline": round(mps / measure_cpu_pipeline_mps(args.funit), 2)}
+            "vs_baseline": _ratio(mps, measure_cpu_pipeline_mps(args.funit))}
 
 
 def bench_serve_concurrent(args, cpu_mps, clients: int = 8,
@@ -608,8 +647,8 @@ def bench_serve_concurrent(args, cpu_mps, clients: int = 8,
           file=sys.stderr)
     return {"metric": "serve_concurrent_8x480p", "value": round(mps, 3),
             "unit": "MP/s",
-            "vs_baseline": round(mps / measure_cpu_pipeline_mps(args.funit),
-                                 2)}
+            "vs_baseline": _ratio(mps,
+                                  measure_cpu_pipeline_mps(args.funit))}
 
 
 def bench_single_tile_int8(args, cpu_mps):
@@ -627,16 +666,30 @@ def bench_single_tile_int8(args, cpu_mps):
     return res
 
 
+# Scorecard order = headline first, then cheapest/most-valuable rows, so a
+# budget- or timeout-truncated run still records the most evidence. The
+# pipeline-family rows (which may pay a one-time ~4 min CPU re-baseline on
+# a migrated host) come after every device-resident row.
 MODES = {
     "tiled": bench_tiled,
     "single_tile": lambda a, c, quick=False: bench_single_tile(a, c),
     "single_tile_int8": lambda a, c, quick=False: bench_single_tile_int8(a, c),
     "rl": lambda a, c, quick=False: bench_rl(a, c),
+    "train": lambda a, c, quick=False: bench_train(a, c),
     "pipeline": lambda a, c, quick=False: bench_pipeline(a, c),
     "nightmode_batch": lambda a, c, quick=False: bench_nightmode_batch(a, c),
-    "train": lambda a, c, quick=False: bench_train(a, c),
     "serve": lambda a, c, quick=False: bench_serve(a, c),
     "serve_concurrent": lambda a, c, quick=False: bench_serve_concurrent(a, c),
+}
+
+# Conservative floor of wall-clock each mode needs from a warm compile
+# cache (measured r2/r3 sessions, doubled for tunnel congestion). A mode
+# is skipped — recorded as skipped, not lost — when the remaining budget
+# is below its floor.
+MODE_MIN_S = {
+    "tiled": 120, "single_tile": 90, "single_tile_int8": 90, "rl": 60,
+    "train": 90, "pipeline": 180, "nightmode_batch": 240, "serve": 180,
+    "serve_concurrent": 240,
 }
 
 
@@ -677,7 +730,33 @@ def wait_for_backend(budget_s: float = 2700.0) -> bool:
         time.sleep(60)
 
 
+def _emit(scorecard: list, final: bool) -> None:
+    """Flush the cumulative result NOW: one complete JSON line on stdout
+    (every emission is a valid headline+scorecard line, so whichever line
+    survives a mid-run kill parses) plus a write-through partial file. The
+    last line printed is the most complete — drivers that take the last
+    parseable line get the full picture, drivers that take the first still
+    get the headline row."""
+    if not scorecard:
+        return
+    res = dict(scorecard[0])
+    res["scorecard"] = scorecard
+    if not final:
+        res["partial"] = True
+    line = json.dumps(res)
+    # Write to the REAL stdout: _emit may run inside the CLI-output
+    # redirect (or from the SIGTERM handler while it is active).
+    print(line, file=sys.__stdout__, flush=True)
+    try:
+        with open(PARTIAL_PATH + ".tmp", "w") as f:
+            f.write(line + "\n")
+        os.replace(PARTIAL_PATH + ".tmp", PARTIAL_PATH)
+    except OSError:
+        pass
+
+
 def main():
+    global _DEADLINE
     # persistent compile cache: the six modes compile ~10 distinct programs,
     # 30-120 s each through the tunnel cold; cached they load in seconds
     from nind_denoise_tpu.utils import jaxcache
@@ -691,30 +770,72 @@ def main():
                          "single_tile — the measured compute-optimal sizes)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--funit", type=int, default=64)
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("NIND_BENCH_BUDGET_S", 2400)),
+                    help="wall-clock budget (s) for the full scorecard; "
+                         "remaining modes are skipped, never lost")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu — for testing the "
+                         "bench harness itself off-TPU)")
     args = ap.parse_args()
+    if args.platform:  # JAX_PLATFORMS is latched by the axon plugin; the
+        import jax     # config API is the only override that works
+
+        jax.config.update("jax_platforms", args.platform)
 
     import contextlib
 
-    cpu_mps = measure_cpu_baseline(funit=args.funit)
-    wait_for_backend()
     if args.mode != "all":
+        cpu_mps = measure_cpu_baseline(funit=args.funit)
+        wait_for_backend()
         with contextlib.redirect_stdout(sys.stderr):  # CLI modes print
             res = MODES[args.mode](args, cpu_mps, quick=args.quick)
         print(json.dumps(res))
         return
-    # full scorecard: headline (24 MP tiled) at the top level for the
-    # driver's one-line contract, every BASELINE config + train alongside
-    scorecard = []
-    with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
+
+    # Full scorecard: headline (24 MP tiled) at the top level for the
+    # driver's one-line contract, every BASELINE config + serving + train
+    # alongside. Budgeted + incrementally emitted (see _DEADLINE docstring).
+    _DEADLINE = time.time() + args.budget
+    scorecard: list = []
+    # A `timeout`-style SIGTERM must still leave a parseable line: emit the
+    # current cumulative scorecard from the handler before dying. (The
+    # handler only runs when the interpreter regains control, which covers
+    # the host-side loops where most wall-clock is spent.)
+    def _on_term(signum, frame):
+        scorecard.append({"metric": "run", "value": None, "unit": None,
+                          "vs_baseline": None,
+                          "error": f"killed by signal {signum}"})
+        _emit(scorecard, final=False)
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    cpu_mps = measure_cpu_baseline(funit=args.funit)
+    # Leave at least ~600 s of the budget for the modes themselves: a dead
+    # backend then records per-mode errors instead of one giant stall.
+    if args.platform != "cpu":  # the probe targets the session default (axon)
+        wait_for_backend(budget_s=max(60.0, _budget_left() - 600.0))
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout = JSON only
         for name, fn in MODES.items():
+            left = _budget_left()
+            if left < MODE_MIN_S[name]:
+                scorecard.append({"metric": name, "value": None, "unit": None,
+                                  "vs_baseline": None,
+                                  "error": f"skipped: {left:.0f}s of budget "
+                                           f"left < {MODE_MIN_S[name]}s floor"})
+                _emit(scorecard, final=False)
+                continue
+            t0 = time.time()
             try:
                 scorecard.append(fn(args, cpu_mps, quick=args.quick))
             except Exception as e:  # one broken mode must not hide the rest
                 scorecard.append({"metric": name, "value": None, "unit": None,
                                   "vs_baseline": None, "error": repr(e)})
-    res = dict(scorecard[0])
-    res["scorecard"] = scorecard
-    print(json.dumps(res))
+            print(f"[bench] {name}: {time.time() - t0:.1f}s "
+                  f"({_budget_left():.0f}s budget left)", file=sys.stderr)
+            _emit(scorecard, final=False)
+    _emit(scorecard, final=True)
 
 
 if __name__ == "__main__":
