@@ -97,7 +97,16 @@ class DenoiseService:
         self.mode = parallel
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
                       "busy_s": 0.0, "reloads": 0, "per_device": {},
-                      "coalesced_requests": 0}
+                      "coalesced_requests": 0,
+                      # cumulative per-stage wall seconds across requests
+                      # (divide by `requests` for means): decode = body ->
+                      # RGB array, queue = enqueue -> dispatcher pickup,
+                      # denoise = engine dispatch, post = RL/quantize +
+                      # fetch, encode = u8 -> response bytes. The stage
+                      # breakdown that localizes an HTTP-vs-CLI gap.
+                      "stage_s": {"decode": 0.0, "queue": 0.0,
+                                  "denoise": 0.0, "post": 0.0,
+                                  "encode": 0.0}}
         self._stats_lock = threading.Lock()
         # per-request wall latency (decode -> fetched result, i.e. queue
         # wait + denoise + post), last LATENCY_WINDOW requests — the /stats
@@ -261,6 +270,8 @@ class DenoiseService:
         payloads = [j[2] for j in group]
         dones = [j[3] for j in group]
         t0 = time.perf_counter()
+        queue_s = sum(t0 - p["t_enq"] for p in payloads
+                      if p.get("t_enq") is not None)
         try:
             outs = self._adaptive.denoise_many(
                 [p["raw"] for p in payloads], payloads[0]["scale"],
@@ -270,6 +281,7 @@ class DenoiseService:
                 self._fail(d, e)
                 d["event"].set()
             return
+        t1 = time.perf_counter()
         mp = 0.0
         for p, out01, d in zip(payloads, outs, dones):
             try:
@@ -279,9 +291,14 @@ class DenoiseService:
                 self._fail(d, e)
             finally:
                 d["event"].set()
+        t2 = time.perf_counter()
         with self._stats_lock:
-            self.stats["busy_s"] += time.perf_counter() - t0
+            self.stats["busy_s"] += t2 - t0
             self.stats["megapixels"] += mp
+            st = self.stats["stage_s"]
+            st["queue"] += queue_s
+            st["denoise"] += t1 - t0
+            st["post"] += t2 - t1
             if len(group) > 1:
                 self.stats["coalesced_requests"] += len(group)
 
@@ -326,7 +343,8 @@ class DenoiseService:
         return self._enqueue_and_wait((fn, done), done)
 
     def submit_denoise(self, raw: np.ndarray, scale: float, rl: bool,
-                       sigma: float, iterations: int, psf: str) -> np.ndarray:
+                       sigma: float, iterations: int, psf: str,
+                       t_enq: float | None = None) -> np.ndarray:
         """Single-mode typed submission: the dispatcher may coalesce
         CONSECUTIVE queued requests with the same (shape, dtype, scale)
         into one engine dispatch (_run_group). RL params ride the payload —
@@ -334,12 +352,17 @@ class DenoiseService:
         done = {"event": threading.Event()}
         key = (raw.shape, raw.dtype.str, float(scale))
         payload = {"raw": raw, "scale": scale, "rl": rl, "sigma": sigma,
-                   "iterations": iterations, "psf": psf}
+                   "iterations": iterations, "psf": psf,
+                   "t_enq": time.perf_counter() if t_enq is None else t_enq}
         return self._enqueue_and_wait(("den", key, payload, done), done)
 
     def bump(self, key: str) -> None:
         with self._stats_lock:
             self.stats[key] += 1
+
+    def _stage(self, key: str, dt: float) -> None:
+        with self._stats_lock:
+            self.stats["stage_s"][key] += dt
 
     # sliding-window size for the latency percentiles in /stats
     LATENCY_WINDOW = 1024
@@ -348,6 +371,8 @@ class DenoiseService:
         with self._stats_lock:
             s = dict(self.stats)
             s["per_device"] = dict(s["per_device"])
+            s["stage_s"] = {k: round(v, 6)  # µs precision: sub-ms stages
+                            for k, v in s["stage_s"].items()}  # must not read 0
             lat = np.asarray(self._latencies, np.float64)
         if lat.size:
             p50, p95, p99 = np.percentile(lat, [50, 95, 99])
@@ -435,18 +460,26 @@ class DenoiseService:
             raise ValueError("could not decode request body as an image")
         scale = {np.uint8: 255.0, np.uint16: 65535.0}.get(arr.dtype.type, 1.0)
         raw = np.ascontiguousarray(arr[..., ::-1])
+        t_dec = time.perf_counter()
+        self._stage("decode", t_dec - t_req)
 
         rl_p = {"rl": rl, "sigma": sigma, "iterations": iterations,
-                "psf": psf}
+                "psf": psf, "t_enq": t_dec}
 
         def work(denoise):
             """Denoise + the shared post recipe (_post_u8) on the
             dispatcher thread — the shard-mode path."""
             t0 = time.perf_counter()
-            u8 = self._post_u8(denoise(raw, scale), rl_p)
+            self._stage("queue", t0 - rl_p["t_enq"])
+            out01 = denoise(raw, scale)
+            t1 = time.perf_counter()
+            u8 = self._post_u8(out01, rl_p)
+            t2 = time.perf_counter()
             with self._stats_lock:
-                self.stats["busy_s"] += time.perf_counter() - t0
+                self.stats["busy_s"] += t2 - t0
                 self.stats["megapixels"] += raw.shape[0] * raw.shape[1] / 1e6
+                self.stats["stage_s"]["denoise"] += t1 - t0
+                self.stats["stage_s"]["post"] += t2 - t1
             return u8
 
         try:
@@ -459,6 +492,7 @@ class DenoiseService:
             # p95/p99 an operator alerts on (ADVICE r3).
             with self._stats_lock:
                 self._latencies.append(time.perf_counter() - t_req)
+        t_enc = time.perf_counter()
         bgr = u8[..., ::-1]
         if output in ("jpg", "jpeg"):
             ok, buf = cv2.imencode(".jpg", bgr,
@@ -471,7 +505,9 @@ class DenoiseService:
             raise ValueError(f"unsupported output format {output!r}")
         if not ok:
             raise RuntimeError(f"encode to {output} failed")
-        return buf.tobytes()
+        out = buf.tobytes()
+        self._stage("encode", time.perf_counter() - t_enc)
+        return out
 
     def _dispatch_denoise(self, raw, scale, rl_p, rl, sigma, iterations,
                           psf, work):
@@ -485,11 +521,17 @@ class DenoiseService:
                 # attributed per request as an equal share
                 t0 = time.perf_counter()
                 u8 = self._post_u8(out01, rl_p)
+                t1 = time.perf_counter()
                 with self._stats_lock:
                     self.stats["busy_s"] += (meta["elapsed"] / meta["group"]
-                                             + time.perf_counter() - t0)
+                                             + t1 - t0)
                     self.stats["megapixels"] += \
                         raw.shape[0] * raw.shape[1] / 1e6
+                    st = self.stats["stage_s"]
+                    st["queue"] += max(0.0, t0 - rl_p["t_enq"]
+                                       - meta["elapsed"])
+                    st["denoise"] += meta["elapsed"] / meta["group"]
+                    st["post"] += t1 - t0
                     k = str(meta["device"])
                     self.stats["per_device"][k] = \
                         self.stats["per_device"].get(k, 0) + 1
@@ -505,7 +547,8 @@ class DenoiseService:
             # typed path: concurrent same-shape requests coalesce into one
             # engine dispatch (continuous batching — see _run_group)
             u8 = self.submit_denoise(raw, scale, rl, float(sigma),
-                                     int(iterations), psf)
+                                     int(iterations), psf,
+                                     t_enq=rl_p["t_enq"])
         else:
             u8 = self.submit(lambda: work(self._denoise_raw))
         return u8

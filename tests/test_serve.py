@@ -92,6 +92,25 @@ def test_stats_latency_percentiles(server):
     assert lat["mean"] <= lat["max"]
 
 
+def test_stage_breakdown_accumulates(server):
+    """stage_s decomposes request wall time (decode/queue/denoise/post/
+    encode); after a request flows every stage must be populated and the
+    sum must not exceed total observed wall time by more than rounding."""
+    svc, base = server
+    before = svc.snapshot_stats()["stage_s"]
+    img = np.random.default_rng(11).integers(0, 65536, (96, 96, 3),
+                                             dtype=np.uint16)
+    req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                 data=_png_bytes(img), method="POST")
+    urllib.request.urlopen(req).read()
+    after = svc.snapshot_stats()["stage_s"]
+    deltas = {k: after[k] - before[k] for k in after}
+    assert set(deltas) == {"decode", "queue", "denoise", "post", "encode"}
+    for k in ("decode", "denoise", "post", "encode"):
+        assert deltas[k] > 0, (k, deltas)
+    assert deltas["queue"] >= 0
+
+
 def test_fresh_service_stats_have_latency_block(tmp_path):
     """The latency_ms block is documented as unconditional (docs/API.md):
     a dashboard scraping an idle daemon must see window 0 + null
