@@ -188,6 +188,12 @@ class UtNet:
         d: Params = {"enc1_c0": fast["enc1_c0"], "enc1_c1": fast["enc1_c1"],
                      "final": fast["final"], "w3a4": fast["w3a4"]}
         qk = lambda w: dict(zip(("w", "s"), Q.quant_kernel(w)))
+        # static mode also quantizes enc1's SECOND conv (c1, the costliest
+        # single fragment of the forward): with a calibrated scale the
+        # quantize fuses into c0's epilogue, halving the biggest bf16
+        # tensor's write+read on top of the 2x MXU rate. c0 itself and the
+        # final 1x1 stay bf16 (first-conv quality + bandwidth-bound).
+        d["enc1_c1fq"] = qk(fast["enc1_c1"])
         for lvl in range(3):
             d[f"K{lvl}q"] = qk(fast[f"K{lvl}"])
         d["K3fq"] = qk(fast["K3f"])
@@ -258,12 +264,27 @@ class UtNet:
         act = lambda t, p: C.apply_activation(t, activation, p.get("a"))
         f32 = jnp.float32
 
+        work = x.dtype
+
         def qc(t, key, b, pad, **kw):
             if rec is not None:
                 rec[key] = jnp.max(jnp.abs(t.astype(f32)))
             sx = None if acts is None else acts[key]
             return Q.qconv(t, derived[key]["w"], derived[key]["s"], b, pad,
-                           sx=sx, **kw)
+                           sx=sx, out_dtype=work, **kw)
+
+        def pool_q(t, key):
+            """Static mode: quantize BEFORE the 2x2 maxpool. round/clip/
+            divide-by-positive-scale is monotone non-decreasing, and a
+            monotone map commutes with max EXACTLY (saturation included),
+            so this is bit-identical to pooling first — but the quantize
+            fuses into the producer conv's epilogue and the pool moves
+            int8 bytes instead of bf16 (the l1f pool input alone is ~4 GB
+            at batch 64)."""
+            if acts is None:
+                return C.maxpool2x(t)
+            tq, _ = Q.quant_act_static(t, acts[key])
+            return C.maxpool2x(tq)
 
         def qr(t, key, pad, **kw):
             if rec is not None:
@@ -279,11 +300,24 @@ class UtNet:
         p = params["convs1"]["c0"]
         t = F.folded_conv3(xf, derived["enc1_c0"], p["b"], (0, 0))
         t = act(t, p) * F.col_mask(wb1, t.shape[3], 1, W + 3, t.dtype)
+        if rec is not None:
+            rec["enc1_c1fq"] = jnp.max(jnp.abs(t.astype(f32)))
         p = params["convs1"]["c1"]
-        t = F.folded_conv3(t, derived["enc1_c1"], p["b"], (0, 0))
+        if acts is not None and "enc1_c1fq" in acts:
+            # int8 c1 (precompute_int8 note): quantize fuses into c0's
+            # act/mask epilogue; folded geometry = h_pad (0,0) + W SAME
+            tq, _ = Q.quant_act_static(t, acts["enc1_c1fq"])
+            t = Q.qconv(tq, derived["enc1_c1fq"]["w"],
+                        derived["enc1_c1fq"]["s"], p["b"],
+                        ((0, 0), (1, 1)), tile_bias=True,
+                        sx=acts["enc1_c1fq"], out_dtype=work)
+        else:
+            t = F.folded_conv3(t, derived["enc1_c1"], p["b"], (0, 0))
         l1f = act(t, p) * F.col_mask(wb1, t.shape[3], 2, W + 2, t.dtype)
         fu = l1f.shape[3] // 2
-        pooled = jnp.maximum(l1f[..., :fu], l1f[..., fu:])
+        l1p = l1f if acts is None else \
+            Q.quant_act_static(l1f, acts["convs2_c0q"])[0]
+        pooled = jnp.maximum(l1p[..., :fu], l1p[..., fu:])
         pooled = pooled.reshape(n, H // 2, 2, wb1, fu).max(axis=2)
         l2_in = pooled[:, :, 1:1 + W // 2, :]
 
@@ -294,27 +328,34 @@ class UtNet:
             return t
 
         l2 = double_q("convs2", l2_in)
-        l3 = double_q("convs3", C.maxpool2x(l2))
-        l4 = double_q("convs4", C.maxpool2x(l3))
+        l3 = double_q("convs3", pool_q(l2, "convs3_c0q"))
+        l4 = double_q("convs4", pool_q(l3, "convs4_c0q"))
         b_ = params["bottom"]
-        t = act(qc(C.maxpool2x(l4), "bottom_c0q", b_["c0"]["b"], "VALID"),
-                b_["c0"])
+        t = act(qc(pool_q(l4, "bottom_c0q"), "bottom_c0q", b_["c0"]["b"],
+                   "VALID"), b_["c0"])
         t = act(qc(t, "bottom_c1q", b_["c1"]["b"], "FULL"), b_["c1"])
 
-        # decoder levels 1-3: composed up+conv, both branches int8
+        # decoder levels 1-3: composed up+conv, both branches int8.
+        # (A phase-layout merge of zA+zB into one plain 2x2 int8 conv was
+        # built and measured in round 4 — exact to 75 dB but SLOWER: the
+        # depth-to-space relayout costs as much as a whole conv on this
+        # chip, the same failure mode as round 3's polyphase attempt. See
+        # PERF.md "int8 engine mode", negative results.)
         for lvl, (skip, up, tc) in enumerate(((l4, "up1", "tconvs1"),
                                               (l3, "up2", "tconvs2"),
                                               (l2, "up3", "tconvs3"))):
             up_p, tc_p = params[up], params[tc]
             cmid = up_p["w"].shape[1] // 4
             w3 = tc_p["c0"]["w"]
-            zA = qr(t, f"K{lvl}q", ((3, 3), (3, 3)), lhs_dilation=(2, 2))
-            zB = qr(skip, f"skip{lvl}q", "FULL")
             bmap = F.up_bias_map(skip.shape[1], skip.shape[2], up_p["b"],
                                  w3[:, :, :cmid], f32)
-            y = (zA + zB + bmap + tc_p["c0"]["b"].astype(f32)).astype(t.dtype)
+            zA = qr(t, f"K{lvl}q", ((3, 3), (3, 3)), lhs_dilation=(2, 2))
+            zB = qr(skip, f"skip{lvl}q", "FULL")
+            y = (zA + zB + bmap
+                 + tc_p["c0"]["b"].astype(f32)).astype(t.dtype)
             y = act(y, tc_p["c0"])
-            t = act(qc(y, f"dec{lvl}_c1q", tc_p["c1"]["b"], "FULL"), tc_p["c1"])
+            t = act(qc(y, f"dec{lvl}_c1q", tc_p["c1"]["b"], "FULL"),
+                    tc_p["c1"])
 
         # decoder level 4 + final 1x1, width-folded (final stays bf16)
         up4, tc4 = params["up4"], params["tconvs4"]

@@ -147,8 +147,10 @@ def upconv2x(x: jnp.ndarray, w_mat: jnp.ndarray,
 
 def maxpool2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/stride-2 max pool, VALID (floors odd dims like torch MaxPool2d)."""
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        x, jnp.asarray(init, x.dtype),  # init must match operand dtype (int8)
         lax.max, window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
         padding="VALID")
 

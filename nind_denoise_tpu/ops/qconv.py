@@ -155,23 +155,44 @@ def calib_from_image(img01, size: int = 136, scale: float = 1.0):
     return jnp.asarray(np.stack(crops))
 
 
+# NOTE (round 4 negative result, measured on chip — do not re-attempt
+# without new hardware facts): merging each decoder level's input-dilated
+# composed conv + skip conv into ONE plain 2x2 int8 conv in space-to-depth
+# phase layout (scale ratio folded into weight columns) was implemented,
+# exact to 75 dB, and REGRESSED the full static forward 132 -> 148 ms at
+# batch 64. The phase relayout (depth-to-space of the int8 output) costs
+# ~as much as a whole level conv (13 ms standalone at lvl2 shapes), a
+# phase-layout dec_c1 is no faster than the spatial 3x3 (14.8-17.4 vs
+# 12.9-13.3 ms), and a selection-kernel dilated conv performing d2s on the
+# MXU is no faster than the transpose (13.3-16.8 vs 13.3-14.1 ms). Same
+# failure mode as round 3's polyphase rewrite: on this chip, interleave
+# relayouts beat any int8 MXU-rate gain they unlock. PERF.md has the full
+# table.
+
+
 def qconv(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
           b: Optional[jnp.ndarray] = None,
           padding="VALID",
           lhs_dilation: Optional[Tuple[int, int]] = None,
           tile_bias: bool = False,
-          sx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+          sx: Optional[jnp.ndarray] = None,
+          out_dtype=None) -> jnp.ndarray:
     """Quantized NHWC conv: quantize ``x`` (dynamically, or with the
-    pre-calibrated static scale ``sx``), integer conv against the
+    pre-calibrated static scale ``sx``; an already-int8 ``x`` is used
+    as-is with ``sx`` as its scale), integer conv against the
     pre-quantized kernel ``(wq, sw)``, dequant + bias in f32, return in
-    ``x.dtype``. ``padding``: 'VALID'/'SAME'/'FULL' or explicit pairs;
-    ``tile_bias`` doubles the bias vector for width-folded layers (the
-    folded channel layout v*C+c of ops/fastconv.py)."""
+    ``out_dtype`` (default ``x.dtype``; REQUIRED for int8 inputs).
+    ``padding``: 'VALID'/'SAME'/'FULL' or explicit pairs; ``tile_bias``
+    doubles the bias vector for width-folded layers (the folded channel
+    layout v*C+c of ops/fastconv.py)."""
+    if out_dtype is None:
+        assert x.dtype != jnp.int8, "int8 input requires explicit out_dtype"
+        out_dtype = x.dtype
     y = qconv_raw(x, wq, sw, padding, lhs_dilation=lhs_dilation, sx=sx)
     if b is not None:
         bb = jnp.tile(b, 2) if tile_bias else b
         y = y + bb.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype)
 
 
 def qconv_raw(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
@@ -183,7 +204,11 @@ def qconv_raw(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
     if padding == "FULL":
         kh, kw = wq.shape[0], wq.shape[1]
         padding = ((kh - 1, kh - 1), (kw - 1, kw - 1))
-    xq, sx = quant_act(x) if sx is None else quant_act_static(x, sx)
+    if x.dtype == jnp.int8:  # pre-quantized by the caller (sx = its scale)
+        assert sx is not None, "int8 input requires its scale"
+        xq = x
+    else:
+        xq, sx = quant_act(x) if sx is None else quant_act_static(x, sx)
     dn = lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
     y32 = lax.conv_general_dilated(
         xq, wq, window_strides=(1, 1), padding=padding,

@@ -22,6 +22,21 @@ def _psnr(a, b, peak=1.0):
     return 10 * np.log10(peak ** 2 / max((d ** 2).mean(), 1e-20))
 
 
+def test_quantize_before_pool_commutes_exactly():
+    """apply_int8's static path pools int8 (quantize first — half the pool
+    traffic): round/clip/divide is monotone, so max commutes with it
+    BIT-EXACTLY, saturation included. Use a tiny scale so clipping
+    actually occurs in the test."""
+    from nind_denoise_tpu.ops.conv import maxpool2x
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 5)), jnp.float32)
+    s = jnp.asarray(0.004, jnp.float32)  # |x| up to ~3 -> saturates often
+    a = maxpool2x(Q.quant_act_static(x, s)[0])
+    b = Q.quant_act_static(maxpool2x(x), s)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quant_kernel_roundtrip_bound():
     """Per-output-channel symmetric: |w - wq*s| <= s/2 elementwise, and each
     channel's scale is exactly max|w[..., o]| / 127."""
