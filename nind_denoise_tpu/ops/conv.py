@@ -147,10 +147,15 @@ def upconv2x(x: jnp.ndarray, w_mat: jnp.ndarray,
 
 def maxpool2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/stride-2 max pool, VALID (floors odd dims like torch MaxPool2d)."""
+    # init must be CONCRETE (a traced array breaks reduce_window's autodiff
+    # rule) and must match the operand dtype exactly (int8 operands reject
+    # a weak-typed python int) — a typed numpy scalar satisfies both.
+    import numpy as np
+
     init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-            else jnp.iinfo(x.dtype).min)
+            else np.asarray(jnp.iinfo(x.dtype).min, np.dtype(x.dtype)))
     return lax.reduce_window(
-        x, jnp.asarray(init, x.dtype),  # init must match operand dtype (int8)
+        x, init,
         lax.max, window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
         padding="VALID")
 
