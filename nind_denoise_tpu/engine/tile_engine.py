@@ -665,10 +665,14 @@ def resolve_apply_fn(network: str, params, activation: str = "PReLU",
         # MXU-shaped exact rewrite (composed up-convs + width-folded L1,
         # ops/fastconv.py): +~50% single-chip throughput, parity-tested in
         # tests/test_utnet_fast.py. Kernels are pre-composed once here and
-        # close over the jitted step as constants.
+        # close over the jitted step as constants. enc1_impl='auto' adds
+        # the fused VMEM enc1 Mosaic kernel (ops/pallas_enc1.py, +3.5-4%
+        # measured) when tracing for a real TPU; inference-only engines
+        # never differentiate, so the kernel's missing VJP is moot.
         derived = jax.jit(net.precompute_fast)(params)
         apply_fn = lambda p, x: net.apply_fast(p, x, activation=activation,
-                                               derived=derived)
+                                               derived=derived,
+                                               enc1_impl="auto")
     elif network == "UNet":
         # eval-mode UNet: thread the BN state, discard updates
         params, state = params if isinstance(params, tuple) else (params, None)

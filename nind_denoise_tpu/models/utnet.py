@@ -402,13 +402,19 @@ class UtNet:
 
     @staticmethod
     def apply_fast(params: Params, x: jnp.ndarray, activation: str = "PReLU",
-                   derived: Optional[Params] = None) -> jnp.ndarray:
+                   derived: Optional[Params] = None,
+                   enc1_impl: str = "xla") -> jnp.ndarray:
         """Numerically-equivalent forward reformulated for the TPU MXU:
         composed up-convs (no pixel-shuffle/concat) and width-folded
         level-1 convs (ops/fastconv.py). Requires even H and W; falls back
         to ``apply`` otherwise. Parity: tests/test_utnet_fast.py (~1e-6
         rel fp32 vs ``apply``, which is itself golden-tested against the
-        reference UtNet, networks/UtNet.py:13-109)."""
+        reference UtNet, networks/UtNet.py:13-109).
+
+        ``enc1_impl``: 'xla' (default — differentiable, the trainer's
+        path), 'pallas' (the fused VMEM enc1 kernel, inference-only: no
+        custom VJP), or 'auto' ('pallas' when tracing for a TPU backend,
+        PReLU, and the geometry fits; engines use this)."""
         n, H, W, _ = x.shape
         if W % 2 or H % 2:
             return UtNet.apply(params, x, activation)
@@ -425,16 +431,33 @@ class UtNet:
         # encoder level 1, width-folded (64-ch convs run as 128-ch)
         xf = F.fold_w(C.reflect_pad(x, 2))          # (N, H+4, W/2+2, 6)
         wb1 = xf.shape[2]
-        p = params["convs1"]["c0"]
-        t = F.folded_conv3(xf, derived["enc1_c0"], p["b"], (0, 0))
-        t = act(t, p) * F.col_mask(wb1, t.shape[3], 1, W + 3, t.dtype)
-        p = params["convs1"]["c1"]
-        t = F.folded_conv3(t, derived["enc1_c1"], p["b"], (0, 0))
-        l1f = act(t, p) * F.col_mask(wb1, t.shape[3], 2, W + 2, t.dtype)
-        fu = l1f.shape[3] // 2
-        pooled = jnp.maximum(l1f[..., :fu], l1f[..., fu:])
-        pooled = pooled.reshape(n, H // 2, 2, wb1, fu).max(axis=2)
-        l2_in = pooled[:, :, 1:1 + W // 2, :]       # == maxpool2x(l1)
+        c2 = derived["enc1_c1"].shape[3]
+        if enc1_impl == "auto":
+            import jax as _jax
+
+            from ..ops.pallas_enc1 import enc1_fits
+
+            enc1_impl = ("pallas" if activation == "PReLU"
+                         and _jax.default_backend() == "tpu"
+                         and enc1_fits(H, W, c2=c2) else "xla")
+        if enc1_impl == "pallas":
+            from ..ops.pallas_enc1 import enc1_pallas
+
+            p0, p1 = params["convs1"]["c0"], params["convs1"]["c1"]
+            l1f, l2_in = enc1_pallas(xf, derived["enc1_c0"], p0["b"],
+                                     p0["a"], derived["enc1_c1"], p1["b"],
+                                     p1["a"])
+        else:
+            p = params["convs1"]["c0"]
+            t = F.folded_conv3(xf, derived["enc1_c0"], p["b"], (0, 0))
+            t = act(t, p) * F.col_mask(wb1, t.shape[3], 1, W + 3, t.dtype)
+            p = params["convs1"]["c1"]
+            t = F.folded_conv3(t, derived["enc1_c1"], p["b"], (0, 0))
+            l1f = act(t, p) * F.col_mask(wb1, t.shape[3], 2, W + 2, t.dtype)
+            fu = l1f.shape[3] // 2
+            pooled = jnp.maximum(l1f[..., :fu], l1f[..., fu:])
+            pooled = pooled.reshape(n, H // 2, 2, wb1, fu).max(axis=2)
+            l2_in = pooled[:, :, 1:1 + W // 2, :]   # == maxpool2x(l1)
 
         l2 = double_conv(params["convs2"], l2_in)
         l3 = double_conv(params["convs3"], C.maxpool2x(l2))
@@ -463,7 +486,11 @@ class UtNet:
         up4, tc4 = params["up4"], params["tconvs4"]
         cmid = up4["w"].shape[1] // 4
         zA = F.up_conv3_composed_folded(t, derived["K3f"])   # (N, H+2, wb1, 2f)
-        zB = F.folded_conv3(l1f, derived["w3b4"], None, (2, 2))
+        # the pallas enc1 emits l1f with 8-aligned zero pad columns; they
+        # reproduce the folded conv's SAME-padding zeros exactly, so the
+        # output slice back to wb1 is a fused no-copy (no-op on the XLA
+        # path, where l1f is already wb1 wide)
+        zB = F.folded_conv3(l1f, derived["w3b4"], None, (2, 2))[:, :, :wb1, :]
         planef = (F.col_mask(wb1, 2 * cmid, 2, W + 2, f32)
                   * jnp.tile(up4["b"], 2).astype(f32))
         bmapf = F.folded_conv3(jnp.broadcast_to(planef, (1, H, wb1, 2 * cmid)),
