@@ -344,8 +344,9 @@ def bench_single_tile(args, cpu_mps):
             p, x.astype(jnp.bfloat16), derived=derived))
     else:
         derived = jax.jit(UtNet.precompute_fast)(params)
+        # enc1_impl='auto': the engines' path (fused Mosaic enc1 on TPU)
         fwd = jax.jit(lambda p, x: UtNet.apply_fast(
-            p, x.astype(jnp.bfloat16), derived=derived))
+            p, x.astype(jnp.bfloat16), derived=derived, enc1_impl="auto"))
     x = jnp.asarray(np.random.default_rng(0).random((batch, 504, 504, 3),
                                                     dtype=np.float32))
     np.asarray(fwd(params, x).ravel()[0])
