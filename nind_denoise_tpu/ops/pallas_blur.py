@@ -389,11 +389,20 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
                            iterations: int = 10,
                            interpret: bool = False) -> jnp.ndarray:
     """Richardson-Lucy with a fused per-iteration kernel: one pallas_call
-    per iteration (grid = channels), both blurs + ratio + multiply in VMEM,
+    per iteration (grid = planes), both blurs + ratio + multiply in VMEM,
     double-buffered band DMA. Semantics of ops/rl_deblur.rl_deblur (dt=1,
     edge-replicate boundary, eps=1e-8); parity asserted in
-    tests/test_pallas_blur.py."""
-    hh, ww, c = img_hwc.shape
+    tests/test_pallas_blur.py.
+
+    Accepts (H, W, C) or batched (N, H, W, C): every plane is an
+    independent grid cell running the identical per-image program, so a
+    batch member's result is BIT-IDENTICAL to its single-image run — the
+    property serve's coalesced group post relies on (round 4). A batch
+    pays ONE pallas dispatch per iteration for the whole group instead of
+    N."""
+    squeeze = img_hwc.ndim == 3
+    x4 = img_hwc[None] if squeeze else img_hwc
+    n, hh, ww, c = x4.shape
     interpret = interpret or jax.default_backend() != "tpu"
     taps = _taps(sigma)
     r = (len(taps) - 1) // 2
@@ -410,8 +419,9 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
     w_in = w_out + 128
     n_bands = hb // band_h
 
-    d0 = jnp.maximum(jnp.transpose(img_hwc, (2, 0, 1)).astype(jnp.float32),
-                     0.0)
+    d0 = jnp.maximum(
+        jnp.transpose(x4, (0, 3, 1, 2)).reshape(n * c, hh, ww
+                                                ).astype(jnp.float32), 0.0)
 
     def pad_ext(x):
         x = jnp.pad(x, ((0, 0), (halo2, halo2 + hb - hh), (2 * r, 2 * r)),
@@ -423,9 +433,9 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
         functools.partial(_rl_iter_kernel, taps=taps, band_h=band_h,
                           halo2=halo2, h=hh, w=ww, w_out=w_out,
                           n_bands=n_bands),
-        out_shape=jax.ShapeDtypeStruct((c, hb + 2 * halo2, w_in),
+        out_shape=jax.ShapeDtypeStruct((n * c, hb + 2 * halo2, w_in),
                                        jnp.float32),
-        grid=(c,),
+        grid=(n * c,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -450,8 +460,10 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
     # transfers + a slice, now paid once at entry/exit)
     out = jax.lax.fori_loop(0, iterations, lambda _, u: step(u, d_ext),
                             pad_ext(d0))
-    return jnp.transpose(out[:, halo2:halo2 + hh, 2 * r:2 * r + ww],
-                         (1, 2, 0))
+    out = jnp.transpose(
+        out[:, halo2:halo2 + hh, 2 * r:2 * r + ww].reshape(n, c, hh, ww),
+        (0, 2, 3, 1))
+    return out[0] if squeeze else out
 
 
 def gauss_blur_pallas(img_hwc: jnp.ndarray, sigma: float = 1.0,

@@ -198,14 +198,14 @@ def rl_deblur(img: jnp.ndarray, sigma: float = 1.0, iterations: int = 10,
 
         # the fused kernel's VMEM scratch scales with image width; above the
         # budget (~26k px at sigma=1) it would fail to compile — fall back
-        impl = ("pallas" if dt == 1.0 and img.ndim == 3
+        impl = ("pallas" if dt == 1.0 and img.ndim in (3, 4)
                 and psf == "gaussian"
                 and jax.default_backend() == "tpu"
-                and _pb.fused_fits(img.shape[1], sigma) else "xla")
+                and _pb.fused_fits(img.shape[-2], sigma) else "xla")
     if impl == "pallas":
-        if dt != 1.0 or img.ndim != 3 or psf != "gaussian":
+        if dt != 1.0 or img.ndim not in (3, 4) or psf != "gaussian":
             raise NotImplementedError(
-                "pallas RL impl supports HWC, dt=1, psf='gaussian' only")
+                "pallas RL impl supports HWC/NHWC, dt=1, psf='gaussian' only")
         from . import pallas_blur
 
         return pallas_blur.rl_deblur_pallas_fused(img, sigma, iterations)

@@ -171,3 +171,18 @@ def test_gauss_blur_large_sigma_clean_error():
     img = jnp.zeros((16, 256, 3), jnp.float32)
     with pytest.raises(ValueError, match="128-lane"):
         pallas_blur.gauss_blur_pallas(img, sigma=22.0)
+
+
+def test_pallas_rl_fused_batch_bit_identical_to_single():
+    """Batched (N, H, W, C) input: every member runs as its own grid cell
+    with the identical per-image program, so results must be BIT-identical
+    to the single-image call — the property serve's coalesced group post
+    relies on (one dispatch per iteration for a whole group)."""
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.random((3, 40, 52, 3), dtype=np.float32))
+    batched = np.asarray(pallas_blur.rl_deblur_pallas_fused(
+        imgs, 1.0, 4, interpret=True))
+    for i in range(3):
+        single = np.asarray(pallas_blur.rl_deblur_pallas_fused(
+            imgs[i], 1.0, 4, interpret=True))
+        np.testing.assert_array_equal(batched[i], single)

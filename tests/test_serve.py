@@ -245,6 +245,56 @@ def test_single_mode_coalesces_concurrent_requests(server):
         assert diff.max() <= 1
 
 
+def test_coalesced_rl_group_matches_serial_request(server):
+    """Coalesced same-RL-param requests ride ONE batched RL dispatch +
+    one fetch (_post_u8_batch, round 4); each response must byte-match a
+    lone serial request of the same image (the batched pallas RL is
+    bit-identical per plane; the XLA fallback path is elementwise-equal
+    over the batch dim)."""
+    svc, base = server
+    rng = np.random.default_rng(47)
+    imgs = [rng.integers(0, 65536, (104, 112, 3), dtype=np.uint16)
+            for _ in range(3)]
+    url = base + "/denoise?output=png&iterations=3"
+
+    def fetch(i):
+        req = urllib.request.Request(url, data=_png_bytes(imgs[i]),
+                                     method="POST")
+        return urllib.request.urlopen(req).read()
+
+    serial = [fetch(i) for i in range(3)]
+
+    gate, release = threading.Event(), threading.Event()
+
+    def blocker():
+        gate.set()
+        assert release.wait(30)
+        return True
+
+    bt = threading.Thread(target=lambda: svc.submit(blocker))
+    bt.start()
+    assert gate.wait(10)
+    bodies = [None] * 3
+
+    def hit(i):
+        bodies[i] = fetch(i)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for _ in range(200):
+        if svc._q.qsize() >= 3:
+            break
+        threading.Event().wait(0.05)
+    assert svc._q.qsize() >= 3
+    release.set()
+    for t in threads:
+        t.join()
+    bt.join()
+    for a, b in zip(bodies, serial):
+        assert a == b  # byte-identical PNG responses
+
+
 def test_bad_body_is_400(server):
     svc, base = server
     req = urllib.request.Request(base + "/denoise", data=b"not an image",
