@@ -637,19 +637,61 @@ def bench_serve_concurrent(args, cpu_mps, clients: int = 8,
             dt = time.perf_counter() - t0
             if errs:
                 raise errs[0]
-            coalesced = svc.snapshot_stats()["coalesced_requests"]
+            stats = svc.snapshot_stats()
+            coalesced = stats["coalesced_requests"]
         finally:
             httpd.shutdown()
             svc.close()
     n = clients * per_client
     mps = n * (h * w / 1e6) / dt
     print(f"serve_concurrent: {n} reqs in {dt:.2f}s (warm pass "
-          f"{warm_dt:.2f}s), {coalesced} coalesced across both passes",
+          f"{warm_dt:.2f}s), {coalesced} coalesced across both passes; "
+          f"stage_s={stats['stage_s']} group_sizes={stats['group_sizes']}",
           file=sys.stderr)
     return {"metric": "serve_concurrent_8x480p", "value": round(mps, 3),
             "unit": "MP/s",
+            "stage_s": stats["stage_s"],  # cumulative, both passes
+            "group_sizes": stats["group_sizes"],
             "vs_baseline": _ratio(mps,
                                   measure_cpu_pipeline_mps(args.funit))}
+
+
+def bench_whole_image(args, cpu_mps):
+    """--whole_image single-chip throughput: 6 MP in ONE forward (reference
+    escape hatch denoise_image.py:196-197) vs the tiled path on the same
+    image in the same run. Both arms pay the same fp32-in/uint16-ish wire;
+    the interleaved same-run pairing makes the comparison valid on a
+    congested tunnel (PERF.md methodology)."""
+    import numpy as np
+
+    import jax
+
+    from nind_denoise_tpu.engine.tile_engine import make_engine
+    from nind_denoise_tpu.models.utnet import UtNet
+
+    h, w = 2000, 3000  # 6 MP; pads to arch-valid dims inside denoise_whole
+    rng = np.random.default_rng(0)
+    img = rng.random((h, w, 3), dtype=np.float32)
+    chw = img.transpose(2, 0, 1)
+
+    params = UtNet.init(jax.random.PRNGKey(0), funit=args.funit)
+    eng = make_engine("UtNet", params, batch_size=args.batch or 8,
+                      compute_dtype=args.dtype)
+    eng.denoise_whole(chw, pad=12)         # compile + warm (one big program)
+    eng.denoise_raw(img, 1.0, out_dtype="float32")  # warm the tiled arm
+    dt_whole = dt_tiled = float("inf")
+    for _ in range(3):  # interleaved: each arm sees the same wire windows
+        t0 = time.perf_counter()
+        y = eng.denoise_whole(chw, pad=12)
+        dt_whole = min(dt_whole, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        eng.denoise_raw(img, 1.0, out_dtype="float32")
+        dt_tiled = min(dt_tiled, time.perf_counter() - t0)
+    assert y.shape == chw.shape
+    mps = (h * w / 1e6) / dt_whole
+    return {"metric": "whole_image_6mp", "value": round(mps, 3),
+            "unit": "MP/s", "vs_baseline": _ratio(mps, cpu_mps),
+            "tiled_6mp_same_run": round((h * w / 1e6) / dt_tiled, 3)}
 
 
 def bench_single_tile_int8(args, cpu_mps):
@@ -677,6 +719,7 @@ MODES = {
     "single_tile_int8": lambda a, c, quick=False: bench_single_tile_int8(a, c),
     "rl": lambda a, c, quick=False: bench_rl(a, c),
     "train": lambda a, c, quick=False: bench_train(a, c),
+    "whole_image": lambda a, c, quick=False: bench_whole_image(a, c),
     "pipeline": lambda a, c, quick=False: bench_pipeline(a, c),
     "nightmode_batch": lambda a, c, quick=False: bench_nightmode_batch(a, c),
     "serve": lambda a, c, quick=False: bench_serve(a, c),
@@ -689,9 +732,46 @@ MODES = {
 # is below its floor.
 MODE_MIN_S = {
     "tiled": 120, "single_tile": 90, "single_tile_int8": 90, "rl": 60,
-    "train": 90, "pipeline": 180, "nightmode_batch": 240, "serve": 180,
-    "serve_concurrent": 240,
+    "train": 90, "whole_image": 180, "pipeline": 180, "nightmode_batch": 240,
+    "serve": 180, "serve_concurrent": 240,
 }
+
+# Rows whose value tracks the ambient tunnel window more than the engine:
+# bracket them with wire probes so the artifact is self-normalizing
+# (VERDICT r4 item 7 — r4's 1.64-vs-3.02 tiled ambiguity).
+WIRE_BOUND = {"tiled", "whole_image", "pipeline", "nightmode_batch",
+              "serve", "serve_concurrent"}
+
+
+def wire_probe(mb: float = 24.0):
+    """Measured up/down MB/s of the host<->device link with INCOMPRESSIBLE
+    data (zeros compress in the tunnel transport and report fake bandwidth
+    — PERF.md), one >=24 MB chunk each way (per-RPC latency dominates
+    below that). Returns {"up_mbps", "down_mbps", "t"} or None off-TPU /
+    on failure. ~2-4 s per call at healthy link rates."""
+    try:
+        import numpy as np
+
+        import jax
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+        n = int(mb * 1e6) // 4
+        host = np.random.default_rng(12345).integers(
+            0, np.iinfo(np.uint32).max, n, dtype=np.uint32)
+        t0 = time.perf_counter()
+        dev = jax.device_put(host)
+        float(np.asarray(dev[0]))  # force completion (one ~25 ms RPC)
+        up_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        back = np.asarray(dev)
+        down_s = time.perf_counter() - t0
+        assert back[-1] == host[-1]
+        return {"up_mbps": round(mb / up_s, 1),
+                "down_mbps": round(mb / down_s, 1),
+                "t": round(time.time(), 1)}
+    except Exception:  # noqa: BLE001 — a probe failure must not kill a mode
+        return None
 
 
 def wait_for_backend(budget_s: float = 2700.0) -> bool:
@@ -789,8 +869,12 @@ def main():
     if args.mode != "all":
         cpu_mps = measure_cpu_baseline(funit=args.funit)
         wait_for_backend()
+        probe = wire_probe() if args.mode in WIRE_BOUND else None
         with contextlib.redirect_stdout(sys.stderr):  # CLI modes print
             res = MODES[args.mode](args, cpu_mps, quick=args.quick)
+        if probe is not None:
+            res["wire_mbps_before"] = probe
+            res["wire_mbps_after"] = wire_probe()
         print(json.dumps(res))
         return
 
@@ -828,11 +912,19 @@ def main():
                 _emit(scorecard, final=False)
                 continue
             t0 = time.time()
+            probe = wire_probe() if name in WIRE_BOUND else None
             try:
-                scorecard.append(fn(args, cpu_mps, quick=args.quick))
+                row = fn(args, cpu_mps, quick=args.quick)
             except Exception as e:  # one broken mode must not hide the rest
-                scorecard.append({"metric": name, "value": None, "unit": None,
-                                  "vs_baseline": None, "error": repr(e)})
+                row = {"metric": name, "value": None, "unit": None,
+                       "vs_baseline": None, "error": repr(e)}
+            if probe is not None:
+                # bracketing wire measurements ride the row so an
+                # artifact-only reader can tell a congested window from a
+                # regression (1.64 vs 3.02 MP/s on identical code, r4)
+                row["wire_mbps_before"] = probe
+                row["wire_mbps_after"] = wire_probe()
+            scorecard.append(row)
             print(f"[bench] {name}: {time.time() - t0:.1f}s "
                   f"({_budget_left():.0f}s budget left)", file=sys.stderr)
             _emit(scorecard, final=False)

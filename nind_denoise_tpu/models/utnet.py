@@ -439,7 +439,9 @@ class UtNet:
 
             enc1_impl = ("pallas" if activation == "PReLU"
                          and _jax.default_backend() == "tpu"
-                         and enc1_fits(H, W, c2=c2) else "xla")
+                         and enc1_fits(H, W, c2=c2,
+                                       itemsize=jnp.dtype(x.dtype).itemsize)
+                         else "xla")
         if enc1_impl == "pallas":
             from ..ops.pallas_enc1 import enc1_pallas
 

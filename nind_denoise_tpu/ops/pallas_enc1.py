@@ -54,15 +54,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_pb(hp: int, wbp_al: int, c2: int, cin2: int) -> int:
-    """Largest band (in pooled rows) dividing hp whose buffers fit VMEM."""
+def _pick_pb(hp: int, wbp_al: int, c2: int, cin2: int,
+             itemsize: int = 2) -> int:
+    """Largest band (in pooled rows) dividing hp whose buffers fit VMEM.
+
+    ``itemsize`` = bytes per element of the input dtype: the xf/t0/out
+    scratch buffers are allocated in xf.dtype, so a float32 caller has
+    double the footprint of the usual bf16 one (ADVICE r4 — the estimate
+    must match the allocation or the fits gate lies to Mosaic)."""
     def est(pb):
         lb = 2 * pb
-        x = 2 * cin2 * (lb + 8) * wbp_al * 2      # planar xf double-buffer
-        t0 = (lb + 2) * wbp_al * c2 * 2           # bf16 t0 scratch
-        acc = (lb + 2) * wbp_al * c2 * 4          # f32 accum transient
-        lo = 2 * lb * (wbp_al - 2) * c2 * 2       # l1f out double-buffer
-        po = 2 * pb * (wbp_al - 2) * c2 * 2       # row-pair pool out
+        x = 2 * cin2 * (lb + 8) * wbp_al * itemsize  # planar xf dbl-buffer
+        t0 = (lb + 2) * wbp_al * c2 * itemsize       # t0 scratch (xf.dtype)
+        acc = (lb + 2) * wbp_al * c2 * 4             # f32 accum transient
+        lo = 2 * lb * (wbp_al - 2) * c2 * itemsize   # l1f out dbl-buffer
+        po = 2 * pb * (wbp_al - 2) * c2 * itemsize   # row-pair pool out
         return x + t0 + 2 * acc + lo + po
     best = 0
     # pb multiple of 4 => the xf band DMA offset (2*pb*i) and size
@@ -201,13 +207,14 @@ def _enc1_kernel(xf_hbm, w0_ref, w1_ref, b0_ref, b1_ref, a_ref,
             l2_dma(jax.lax.rem(jnp.int32(tail), 2), tail).wait()
 
 
-def enc1_fits(h: int, w: int, c2: int = 128) -> bool:
+def enc1_fits(h: int, w: int, c2: int = 128, itemsize: int = 2) -> bool:
     """Whether the fused kernel supports this geometry (even dims, an
-    integral band split, VMEM budget). ``c2`` = 2*funit."""
+    integral band split, VMEM budget). ``c2`` = 2*funit; ``itemsize`` =
+    bytes/elem of the compute dtype (pass 4 for float32 inputs)."""
     if h % 2 or w % 2:
         return False
     wbp_al = _round_up((w + 4) // 2 + 2, 128)
-    return _pick_pb(h // 2, wbp_al, c2, 6) >= 4
+    return _pick_pb(h // 2, wbp_al, c2, 6, itemsize) >= 4
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -226,7 +233,7 @@ def enc1_pallas(xf: jnp.ndarray, w0f: jnp.ndarray, b0: jnp.ndarray,
     h = hp4 - 4
     c2 = w1f.shape[3]
     wbp_al = _round_up(wb + 2, 128)
-    pb = _pick_pb(h // 2, wbp_al, c2, cin2)
+    pb = _pick_pb(h // 2, wbp_al, c2, cin2, jnp.dtype(xf.dtype).itemsize)
     if pb < 1:
         raise ValueError(f"enc1_pallas: no valid band for H={h}")
     n_bands = (h // 2) // pb

@@ -82,6 +82,10 @@ class EnginePool:
         self._reload_lock = threading.Lock()
         self.coalesced = 0  # requests that rode a shared dispatch
         self._coalesce_lock = threading.Lock()
+        # typed denoise jobs submitted but not yet claimed by a group —
+        # the fair-share denominator's NUMERATOR. It must NOT be
+        # ``q.qsize()``: see the lockstep-race note in ``_run``.
+        self._typed_pending = 0
         # workers look their replica up PER JOB (not a captured object) so
         # reload() can swap checkpoints under live traffic
         self._workers = [threading.Thread(target=self._run, args=(i,),
@@ -103,11 +107,29 @@ class EnginePool:
         # answer is one request per chip, not one chip doing all 8 — so
         # each worker's drain limit is its fair share of the current
         # backlog (the job in hand counts toward it).
+        #
+        # THE LOCKSTEP RACE (why the share reads _typed_pending and not
+        # q.qsize()): when N parked workers wake simultaneously over a
+        # backlog of 2N, each pops ONE job from the queue before any of
+        # them computes its share. By the time the first worker asks, the
+        # queue holds only ~N jobs — qsize-based share = (N+1)//N = 1 —
+        # so every worker forms a singleton group, finishes, pops another
+        # singleton, and the 2N-deep backlog drains with ZERO coalescing
+        # (observed intermittently in r3/r4 as
+        # test_pool_mode_coalesces_queued_requests failures). The fix:
+        # count OUTSTANDING typed work — incremented at submit, decremented
+        # only when a group CLAIMS its members (_run_group entry) — so
+        # in-hand-but-unclaimed jobs still count. In the wake-up storm
+        # every worker sees pending=2N and takes ceil(2N/N)=2: the first
+        # worker to reach its drain is GUARANTEED a partner (at most N of
+        # the 2N jobs are in hand, so the queue is non-empty).
         from ..utils import workqueue
 
         def fair_share() -> int:
-            share = max(1, (self._q.qsize() + 1)
-                        // max(1, len(self._workers)))
+            nw = max(1, len(self._workers))
+            with self._coalesce_lock:
+                pending = self._typed_pending
+            share = max(1, -(-pending // nw))  # ceil
             return min(self.MAX_COALESCE, share)
 
         workqueue.consume(self._q, self._closing,
@@ -141,6 +163,10 @@ class EnginePool:
         replica = self._replicas[idx]
         payloads = [j[2] for j in group]
         dones = [j[3] for j in group]
+        with self._coalesce_lock:  # these jobs are now claimed, not pending
+            self._typed_pending -= len(group)
+            for d in dones:
+                d["claimed"] = True
         t0 = _time.perf_counter()
         try:
             outs = replica.denoise_many([p["raw"] for p in payloads],
@@ -273,8 +299,24 @@ class EnginePool:
         done = {"event": threading.Event()}
         key = (raw.shape, raw.dtype.str, float(scale))
         payload = {"raw": raw, "scale": scale, "post": post}
-        return self._enqueue_and_wait(("den", key, payload, done), done,
-                                      block)
+        # count the job as outstanding BEFORE it can be popped (fair-share
+        # numerator — see the lockstep-race note in _run); roll back if the
+        # enqueue itself fails (queue.Full / closed pool)
+        with self._coalesce_lock:
+            self._typed_pending += 1
+        try:
+            return self._enqueue_and_wait(("den", key, payload, done), done,
+                                          block)
+        except BaseException:
+            # un-count the job unless a worker's _run_group claimed it
+            # (which already decremented). Unclaimed paths: queue.Full,
+            # closed-pool raises before the put, and close() draining the
+            # job without running it.
+            with self._coalesce_lock:
+                if not done.get("claimed"):
+                    self._typed_pending -= 1
+                    done["claimed"] = True  # idempotence vs late close()
+            raise
 
     def denoise_raw(self, raw_hwc: np.ndarray, scale: float,
                     out_dtype: str = "float32"):

@@ -98,6 +98,11 @@ class DenoiseService:
         self.stats = {"requests": 0, "errors": 0, "megapixels": 0.0,
                       "busy_s": 0.0, "reloads": 0, "per_device": {},
                       "coalesced_requests": 0,
+                      # queue-full 503s — kept OUT of latency_ms so the
+                      # percentiles reflect only admitted requests
+                      "rejected_busy": 0,
+                      # coalesced-dispatch size histogram {size: count}
+                      "group_sizes": {},
                       # cumulative per-stage wall seconds across requests
                       # (divide by `requests` for means): decode = body ->
                       # RGB array, queue = enqueue -> dispatcher pickup,
@@ -320,6 +325,11 @@ class DenoiseService:
             st["queue"] += queue_s
             st["denoise"] += t1 - t0
             st["post"] += t2 - t1
+            # dispatch-group size histogram: fragmentation (many small
+            # groups) multiplies the fixed per-group wire/RPC cost — the
+            # first thing to check when concurrent throughput sags
+            gs = self.stats["group_sizes"]
+            gs[str(len(group))] = gs.get(str(len(group)), 0) + 1
             if len(group) > 1:
                 self.stats["coalesced_requests"] += len(group)
 
@@ -422,6 +432,7 @@ class DenoiseService:
         with self._stats_lock:
             s = dict(self.stats)
             s["per_device"] = dict(s["per_device"])
+            s["group_sizes"] = dict(s["group_sizes"])
             s["stage_s"] = {k: round(v, 6)  # µs precision: sub-ms stages
                             for k, v in s["stage_s"].items()}  # must not read 0
             lat = np.asarray(self._latencies, np.float64)
@@ -536,13 +547,26 @@ class DenoiseService:
         try:
             u8 = self._dispatch_denoise(raw, scale, rl_p, rl, sigma,
                                         iterations, psf, work)
-        finally:
-            # Failures count too: a request that errors after its queue
-            # wait (engine/dispatch raise) must still enter the latency
-            # window, or slow-then-failing traffic is invisible to the
-            # p95/p99 an operator alerts on (ADVICE r3).
-            with self._stats_lock:
-                self._latencies.append(time.perf_counter() - t_req)
+        except BaseException as e:
+            if isinstance(e, ServiceBusy):
+                # Instant queue-full rejections must NOT enter the latency
+                # window: under overload a flood of ~decode-time 503s
+                # would drag p50/p95 DOWN exactly when operators alert on
+                # them (ADVICE r4). They are visible as the rejected_busy
+                # counter (+ the 503 rate the HTTP layer returns).
+                with self._stats_lock:
+                    self.stats["rejected_busy"] += 1
+            else:
+                # Admitted failures count: a request that errors after
+                # its queue wait (engine/dispatch raise) must still enter
+                # the latency window, or slow-then-failing traffic is
+                # invisible to the p95/p99 an operator alerts on
+                # (ADVICE r3).
+                with self._stats_lock:
+                    self._latencies.append(time.perf_counter() - t_req)
+            raise
+        with self._stats_lock:
+            self._latencies.append(time.perf_counter() - t_req)
         t_enc = time.perf_counter()
         bgr = u8[..., ::-1]
         if output in ("jpg", "jpeg"):

@@ -199,11 +199,16 @@ class DenoisingDataset:
             cache[fpath] = imgio.load_img(fpath)
         return cache[fpath]
 
-    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+    def load_pair(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Un-augmented (clean, noisy) pair: random ISO pair choice + random
+        crop/pad to cs, nothing else — the raw material the device-resident
+        cache augments on chip (train/device_cache.py). Each call re-rolls
+        the pair and crop like __getitem__ does."""
         xpath, ypath = self.get_x_y_paths(index)
-        ximg = self._load(xpath)
-        yimg = self._load(ypath)
-        ximg, yimg = self.crop_and_pad(ximg, yimg)
+        return self.crop_and_pad(self._load(xpath), self._load(ypath))
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        ximg, yimg = self.load_pair(index)
         # augmentation: rot90 x k + two flips
         nrot = self.rng.randint(0, 3)
         ximg = np.rot90(ximg, nrot, (1, 2))

@@ -142,6 +142,22 @@ def build_parser():
     p.add_argument("--cache_images", action="store_true",
                    help="decode training crops once and serve from RAM "
                         "(small datasets; this host has 1 core)")
+    p.add_argument("--device_cache", type=int, default=0,
+                   help="hold up to N (clean, noisy) crop pairs in device "
+                        "HBM and run the rot90/flip/exp_mult augmentations "
+                        "on chip (train/device_cache.py): zero host bytes "
+                        "per step — the host feed was measured 20-40x off "
+                        "the step rate on this deployment (PERF.md r4). "
+                        "0 = off (reference-parity host loader). Requires "
+                        "single-device, no clean-clean mixing, and no "
+                        "JPEG/noise augs; falls back with a warning "
+                        "otherwise")
+    p.add_argument("--device_cache_refresh", type=float, default=0.25,
+                   help="fraction of the device cache re-rolled (new ISO "
+                        "pair + crop position, host-decoded in the "
+                        "background) and re-uploaded per epoch boundary; "
+                        "0 freezes pair/crop choices after the initial "
+                        "fill (augs still re-randomize every epoch)")
     p.add_argument("--msssim_warmup_epochs", type=int, default=0,
                    help="train the first N epochs with MSE before switching "
                         "to the configured loss. MS-SSIM's relu'd product "
@@ -503,6 +519,34 @@ def main(argv=None):
     loader = ds_mod.Loader(dataset, bs_std, shuffle=True, drop_last=True,
                            num_threads=max(1, min(args.threads, 4)), seed=args.seed)
 
+    # ---- device-resident data path (--device_cache) ----
+    device_cache = None
+    if args.device_cache > 0:
+        from . import device_cache as dc_mod
+
+        ndev_early = len(jax.devices())
+        if bs_clean > 0:
+            p.print("Warning: --device_cache is incompatible with "
+                    "--clean_data_ratio (host-side batch mixing); using the "
+                    "host loader")
+        elif ndev_early > 1 and args.batch_size % ndev_early == 0:
+            p.print("Warning: --device_cache currently targets single-device "
+                    "runs; data-parallel meshes keep the host loader")
+        elif not dc_mod.supports(dataset):
+            p.print("Warning: --device_cache cannot express this dataset's "
+                    "host-side augmentations (JPEG/noise); using the host "
+                    "loader")
+        else:
+            t0 = time.time()
+            device_cache = dc_mod.DeviceEpochCache(
+                dataset, args.device_cache, seed=args.seed,
+                refresh_frac=args.device_cache_refresh,
+                threads=max(1, min(args.threads, 4)))
+            p.print(f"Device cache: {len(device_cache)} crop pairs in HBM "
+                    f"({time.time() - t0:.1f}s fill); refresh "
+                    f"{args.device_cache_refresh:.0%}/epoch")
+            device_cache.start_refresh()
+
     # ---- models + jitted steps ----
     net = get_network(args.g_network)
     stateful = args.g_network == "UNet"
@@ -653,7 +697,14 @@ def main(argv=None):
             epoch_start = time.time()
             batches_done = 0
 
-            for iteration, (clean_np, noisy_np) in enumerate(loader, 1):
+            if device_cache is not None:
+                key, ek = jax.random.split(key)
+                batch_iter = device_cache.epoch_batches(args.batch_size, ek)
+                n_batches = len(device_cache) // args.batch_size
+            else:
+                batch_iter = loader
+                n_batches = len(loader)
+            for iteration, (clean_np, noisy_np) in enumerate(batch_iter, 1):
                 if shutdown.requested:
                     break
                 if bs_clean > 0:
@@ -665,7 +716,7 @@ def main(argv=None):
                         cb = next(clean_iter)  # non-empty: guarded at setup
                     clean_np = np.concatenate([clean_np, cb[0]])
                     noisy_np = np.concatenate([noisy_np, cb[1]])
-                summary = f"Epoch {epoch} batch {iteration}/{len(loader)}: "
+                summary = f"Epoch {epoch} batch {iteration}/{n_batches}: "
                 if mesh is not None:
                     clean, noisy = pmesh.shard_batch(mesh, clean_np, noisy_np)
                 else:
@@ -733,7 +784,7 @@ def main(argv=None):
                 # --g_model_path <model_dir> resumes exactly at epoch+1 (the
                 # partially trained epoch counts as done, like time_limit).
                 p.print(f"Graceful shutdown: checkpointing epoch {epoch} "
-                        f"after {batches_done}/{len(loader)} batches")
+                        f"after {batches_done}/{n_batches} batches")
                 if is_chief:
                     for d in discs:
                         d.save_model(model_dir, epoch, d.keyword)

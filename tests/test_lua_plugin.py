@@ -137,17 +137,35 @@ def test_structural_balance(lua_src):
     closer = {")": "(", "}": "{", "]": "["}
     i, n = 0, len(lua_src)
     blocks = 0
+    # 'elseif ... then' continues an existing if-block (ONE end closes the
+    # whole chain), so its 'then' must not count as a new opener (ADVICE r4)
+    pending_elseif = False
+
+    def long_bracket(at: int):
+        # Lua long-bracket form [=*[ ... ]=*] (strings and --[==[ comments)
+        m = re.match(r"\[(=*)\[", lua_src[at:])
+        if not m:
+            return None
+        close = "]" + m.group(1) + "]"
+        j = lua_src.find(close, at + m.end())
+        assert j != -1, f"unterminated long bracket at byte {at}"
+        return j + len(close)
+
     while i < n:
         c = lua_src[i]
-        if lua_src.startswith("--[[", i):  # long comment
-            j = lua_src.find("]]", i + 4)
-            assert j != -1, "unterminated long comment"
-            i = j + 2
-            continue
-        if lua_src.startswith("--", i):  # line comment
-            i = lua_src.find("\n", i)
+        if lua_src.startswith("--", i):
+            j = long_bracket(i + 2)  # long comment --[[ / --[==[
+            if j is not None:
+                i = j
+                continue
+            i = lua_src.find("\n", i)  # line comment
             i = n if i == -1 else i
             continue
+        if c == "[":
+            j = long_bracket(i)  # long STRING [[...]] — not brackets
+            if j is not None:
+                i = j
+                continue
         if c in "\"'":
             j = i + 1
             while j < n and lua_src[j] != c:
@@ -160,18 +178,22 @@ def test_structural_balance(lua_src):
         elif c in closer:
             depth[closer[c]] -= 1
             assert depth[closer[c]] >= 0, f"unbalanced {c} at byte {i}"
-        m = re.match(r"\b(function|then|do|end)\b", lua_src[i:i + 9])
+        m = re.match(r"\b(function|elseif|then|do|end)\b", lua_src[i:i + 9])
         if m and (i == 0 or not (lua_src[i - 1].isalnum()
                                  or lua_src[i - 1] == "_")):
             kw = m.group(1)
             if kw == "end":
                 blocks -= 1
                 assert blocks >= 0, f"stray end at byte {i}"
+            elif kw == "elseif":
+                pending_elseif = True
             elif kw == "do":
                 # for/while headers end in do; standalone do opens a block
                 blocks += 1
             elif kw == "then":
-                blocks += 1
+                if not pending_elseif:
+                    blocks += 1
+                pending_elseif = False
             elif kw == "function":
                 blocks += 1
             i += len(kw)
