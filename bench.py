@@ -607,6 +607,12 @@ def bench_serve_concurrent(args, cpu_mps, clients: int = 8,
                 assert resp.status == 200, (resp.status, body[:200])
 
             post()  # warm the serial path (compiles the batch program)
+            # deterministic bucket prewarm: racing arrival patterns decide
+            # which group sizes form, so a traffic-only warm pass can leave
+            # buckets cold and the timed pass then pays their compiles
+            # (measured: 0.12 MP/s cold vs 1.35 warm on identical code)
+            print("prewarm:", svc.prewarm(h, w, dtype="uint16"),
+                  file=sys.stderr)
             errs: list = []
 
             def client():
@@ -616,8 +622,7 @@ def bench_serve_concurrent(args, cpu_mps, clients: int = 8,
                 except BaseException as e:  # noqa: BLE001 — surfaced below
                     errs.append(e)
 
-            # warm the coalesced path's group-size buckets once (each is a
-            # new canvas/band shape -> compile), so the timed run is steady
+            # traffic warm pass: exercises the full HTTP path end-to-end
             warm = [threading.Thread(target=client) for _ in range(clients)]
             t0 = time.perf_counter()
             for t in warm:

@@ -452,6 +452,58 @@ class DenoiseService:
                                "p95": None, "p99": None, "max": None}
         return s
 
+    def prewarm(self, height: int, width: int, dtype: str = "uint16",
+                rl: bool = True, sigma: float = 1.0, iterations: int = 10,
+                psf: str = "gaussian") -> dict:
+        """Compile every program concurrent traffic at (height, width) can
+        hit — the coalesced-group power-of-two size buckets (1, 2, 4, ...,
+        MAX_COALESCE) for both the denoise dispatch and the batched RL
+        post — BEFORE the first request arrives.
+
+        Without this, early traffic pays the bucket compiles one by one as
+        racing arrival patterns happen to form new group sizes: measured on
+        the tunnel, the first serve_concurrent pass ran 0.12 MP/s against
+        1.35 warm on identical code (PERF.md r5). The persistent compile
+        cache makes prewarming one-time per host. Runs on the engine
+        path's owning thread(s) (dispatcher / pool workers); single and
+        images modes only (shard mode's banded program is warmed at
+        construction). Returns {"mode", "sizes", "seconds"}."""
+        t0 = time.perf_counter()
+        np_dtype = np.dtype(dtype)
+        scale = {np.uint8: 255.0, np.uint16: 65535.0}.get(np_dtype.type, 1.0)
+        rl_p = {"rl": rl, "sigma": sigma, "iterations": iterations,
+                "psf": psf}
+        sizes = []
+        g = 1
+        while g <= self.MAX_COALESCE:
+            sizes.append(g)
+            g *= 2
+
+        def warm_on(engine):
+            raw = np.zeros((height, width, 3), np_dtype)
+            for n in sizes:
+                try:
+                    outs = engine.denoise_many([raw] * n, scale,
+                                               out_dtype="device")
+                except ValueError:
+                    # stacked band over budget at this size: real traffic
+                    # would fall back per-image too — nothing to warm
+                    continue
+                if n == 1:
+                    self._post_u8(outs[0], rl_p)
+                else:
+                    self._post_u8_batch(outs, rl_p)
+            return True
+
+        if self.mode == "images":
+            # every replica warms on its own worker thread/device
+            self._pool.map(range(len(self._pool.devices)),
+                           lambda w, _i: warm_on(w))
+        elif self.mode == "single":
+            self.submit(lambda: warm_on(self._adaptive))
+        return {"mode": self.mode, "sizes": sizes,
+                "seconds": round(time.perf_counter() - t0, 2)}
+
     def reload(self, model_path: str) -> dict:
         """Hot checkpoint rollover (``POST /reload?model_path=...``): load
         the new weights (host-side IO on the caller thread), rebuild the
@@ -760,6 +812,13 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8601)
     ap.add_argument("--max_pending", type=int, default=8,
                     help="queued-request bound; beyond it requests get 503")
+    ap.add_argument("--prewarm", action="append", default=[],
+                    metavar="HxW[:dtype]",
+                    help="compile the coalesced-group program buckets for "
+                         "this request shape before accepting traffic "
+                         "(repeatable; e.g. --prewarm 480x480:uint16). "
+                         "First-traffic latency otherwise pays each "
+                         "group-size compile as it first forms")
     args = ap.parse_args(argv)
 
     svc = DenoiseService(args.network, args.model_path, cs=args.cs,
@@ -768,6 +827,11 @@ def main(argv=None):
                          compute_dtype=args.compute_dtype,
                          devices=args.devices, max_pending=args.max_pending,
                          parallel=args.parallel)
+    for spec in args.prewarm:
+        shape, _, dt = spec.partition(":")
+        h, _, w = shape.lower().partition("x")
+        info = svc.prewarm(int(h), int(w), dtype=dt or "uint16")
+        print(f"denoise-serve: prewarmed {spec}: {info}", flush=True)
     httpd = serve(svc, args.host, args.port)
     # report the BOUND port (--port 0 = ephemeral, used by tests/orchestrators)
     print(f"denoise-serve: listening on "

@@ -488,6 +488,29 @@ def test_dispatcher_survives_base_exception(server):
     assert svc.submit(lambda: 41 + 1) == 42  # still serving
 
 
+def test_prewarm_single_mode(server):
+    """prewarm compiles the group-size buckets without error and leaves the
+    service fully functional (byte-identical request results after). Must
+    run before test_close_never_blocks_on_full_queue (which retires the
+    shared service)."""
+    svc, base = server
+    import cv2
+
+    info = svc.prewarm(104, 120, dtype="uint16", rl=False)
+    assert info["mode"] == "single"
+    assert info["sizes"][0] == 1 and info["sizes"][-1] == svc.MAX_COALESCE
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 65536, (104, 120, 3), dtype=np.uint16)
+    req = urllib.request.Request(base + "/denoise?output=png&rl=0",
+                                 data=_png_bytes(img), method="POST")
+    body = urllib.request.urlopen(req).read()
+    got = cv2.imdecode(np.frombuffer(body, np.uint8),
+                       cv2.IMREAD_UNCHANGED)[..., ::-1]
+    want = np.asarray(svc._denoise01(img.astype(np.float32) / 65535.0))
+    want = np.round(np.clip(want, 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_close_never_blocks_on_full_queue(server):
     """close() must return promptly even when the bounded queue is full
     (review r3: a blocking put(None) would hang shutdown behind a wedged
@@ -593,6 +616,18 @@ def test_pool_rl_runs_on_worker_device(server_images):
     out = cv2.imdecode(np.frombuffer(urllib.request.urlopen(req).read(),
                                      np.uint8), cv2.IMREAD_UNCHANGED)
     assert out is not None and out.shape == (104, 120, 3)
+
+
+def test_prewarm_pool_mode(server_images):
+    svc, base = server_images
+    info = svc.prewarm(104, 120, dtype="uint16", rl=False)
+    assert info["mode"] == "images"
+    # the pool still serves correctly afterwards
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 65536, (104, 120, 3), dtype=np.uint16)
+    out = np.asarray(svc._pool.denoise_raw(img, 65535.0,
+                                           out_dtype="float32"))
+    assert out.shape == img.shape and np.isfinite(out).all()
 
 
 def test_pool_mode_coalesces_queued_requests(server_images):
