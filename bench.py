@@ -371,13 +371,30 @@ def bench_rl(args, cpu_mps):
 
     img = jnp.asarray(np.random.default_rng(0).random((2000, 3000, 3),
                                                       dtype=np.float32))
-    np.asarray(rl_deblur.rl_deblur(img, 1.0, 10).ravel()[0])
-    reps = 4  # single-rep timing folds ~25 ms dispatch latency into the number
-    t0 = time.perf_counter()
-    for _ in range(reps):
+
+    # data-dependent chain + call-count slope: per-call time with the
+    # readback AND the tunnel's per-dispatch serialization amortized out
+    # (4 independent dispatches measured 2.4x slower than the same
+    # program's steady-state on the dev tunnel — a harness artifact, not
+    # the kernel; PERF.md r5)
+    def chain(n):
         y = rl_deblur.rl_deblur(img, 1.0, 10)
-    np.asarray(y.ravel()[0])
-    dt = (time.perf_counter() - t0) / reps
+        for _ in range(n - 1):
+            y = rl_deblur.rl_deblur(y, 1.0, 10)
+        return y
+
+    y = chain(2)  # compile + warm
+    out0 = np.asarray(y[0, 0, 0])
+    assert np.isfinite(out0)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(chain(4)[0, 0, 0])
+        t4 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chain(16)[0, 0, 0])
+        t16 = time.perf_counter() - t0
+        dt = min(dt, (t16 - t4) / 12)
     mps = 6.0 / dt
     return {"metric": "rl_deblur_6mp_10iter", "value": round(mps, 2),
             "unit": "MP/s",

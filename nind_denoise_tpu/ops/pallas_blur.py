@@ -25,28 +25,35 @@ No ``pltpu.roll``, no lane-offset slices, all lane dims 128-aligned.
 Falls back to interpret mode off-TPU (tests run it on CPU).
 
 STATUS (measured on the target v5e chip, 6 MP, RL sigma=1 x10 iterations):
-``rl_deblur_pallas_fused`` — one pallas_call per RL iteration, grid over
-channels only, double-buffered band DMA in/out, both blurs + ratio +
-multiply fused in VMEM, and (round 3) the EXT-LAYOUT carry: the kernel
-reads AND writes the padded layout with in-kernel edge replication, so the
-RL loop has zero XLA pad/slice glue between iterations. On-chip
-interleaved A/B, per-iteration slope method (t(50it) - t(10it))/40 so the
-~25 ms axon RPC cancels: **0.72 ms/iter vs 1.12 ms/iter** for the round-2
-re-pad layout (1.56x; bit-identical means at 10 iters), i.e. ~836 MP/s
-slope-based 10-iter RL vs 533.8, and 2.26x over the XLA path before that.
-Remaining gap to the ~0.26 ms/iter HBM floor (3 image transfers/iter) is
-the 6 in-kernel VPU transposes per band. The round-1 blur-per-call layout
-measured 160 MP/s: its remaining cost was per-program overhead (~60 us x
-48 programs/blur x 20 blurs), which the in-kernel band loop amortizes to
-3 programs/iteration. ``rl_deblur(impl='auto')`` (the product default)
-selects the fused kernel on TPU; first compile through the remote service
-is slow but the persistent cache (utils/jaxcache.py) makes it one-time.
+``rl_deblur_pallas_fused`` — one pallas_call per RL iteration, double-
+buffered band DMA in/out, both blurs + ratio + multiply fused in VMEM,
+the EXT-LAYOUT carry (round 3: the kernel reads AND writes the padded
+layout with in-kernel edge replication, so the RL loop has zero XLA
+pad/slice glue between iterations), and the round-5 launch/aliasing
+rewrite (``_rl_iter_kernel2``): ONE program per image loops all
+C x n_bands bands in-kernel and the output ALIASES the input (fully
+in-place iteration). The r4 version paid a measured **9.6 ms of fixed
+per-call cost** (program launches + per-iteration 78 MB output
+allocation) on a 6.3 ms compute loop; v2 removes essentially all of it —
+on-chip A/B 2026-08-20: **t(10 iters) 5.7-6.5 ms (917-1057 MP/s) vs
+11.9-14.2 ms (422-504 MP/s) for v1, bit-identical output checksums**,
+slope unchanged at ~0.6 ms/iter. ``NIND_RL_V1=1`` selects the old kernel
+for A/Bs. Remaining gap to the ~0.26 ms/iter HBM floor (3 image
+transfers/iter) is the 6 in-kernel VPU transposes per band; a
+lane-roll horizontal pass probed 2.5x faster than the transpose pattern
+on a toy band (r5) but replaces 6 transposes with ~28 rolls once edge
+fixes and ext reassembly are counted — marginal on paper, untried in
+the full kernel. ``rl_deblur(impl='auto')`` (the product default)
+selects the fused kernel on TPU; first compile through the remote
+service is slow but the persistent cache (utils/jaxcache.py) makes it
+one-time.
 """
 
 from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -383,6 +390,158 @@ def _rl_iter_kernel(u_hbm, d_hbm, o_hbm, su, sd, so, st, sb,
         sem_b).wait()
 
 
+def _rl_iter_kernel2(u_hbm, d_hbm, o_hbm, su, sd, so, st, sb,
+                     sem_u, sem_d, sem_o, sem_t, sem_b, *,
+                     taps: Tuple[float, ...], band_h: int, halo2: int,
+                     h: int, w: int, w_out: int, n_bands: int, c: int):
+    """Round-5 launch-overhead rewrite of ``_rl_iter_kernel`` (identical
+    band math — see its docstring for the blur/ratio/replicate semantics,
+    which are copied verbatim):
+
+    * ONE program per batch image loops ALL ``c * n_bands`` bands
+      in-kernel (grid (N,) instead of (N*C,)): the r4 kernel paid ~3
+      program launches per iteration; a 10-iteration call carried ~6.8 ms
+      of launch overhead on a 6.3 ms compute loop (PERF.md r5
+      decomposition).
+    * The output ALIASES the input (in-place ext carry;
+      ``input_output_aliases`` in the wrapper): the XLA loop body stops
+      allocating a fresh 78 MB ext array per iteration. Correctness under
+      aliasing needs one DMA-order guarantee: band i's output overlaps
+      band i+1's input rows by ``2*halo2`` ext rows, so band i's out-DMA
+      must not START until band i+1's in-DMA has COMPLETED. The loop
+      below restructures the double buffering for exactly that: body i
+      waits in(i), THEN starts out(i-1) (whose only conflict is in(i)),
+      then prefetches in(i+1) (conflict-free vs out(i-1)), computes, and
+      HOLDS its own out until body i+1. The per-channel halo writes are
+      synchronous (μs-scale DMAs) and sit after the conflicting in-waits
+      by the same argument.
+    """
+    pid = pl.program_id(0)
+    r = (len(taps) - 1) // 2
+    est_rows = band_h + 2 * r
+    est_cols = w_out + 2 * r
+    eps = 1e-8
+    total = c * n_bands
+
+    def in_dma(buf, hbm, sem, slot, t):
+        ci = t // n_bands
+        bi = t - ci * n_bands
+        return pltpu.make_async_copy(
+            hbm.at[pid * c + ci,
+                   pl.ds(bi * band_h, band_h + 2 * halo2), :],
+            buf.at[slot], sem.at[slot])
+
+    def out_dma(slot, t):
+        ci = t // n_bands
+        bi = t - ci * n_bands
+        return pltpu.make_async_copy(
+            so.at[slot],
+            o_hbm.at[pid * c + ci, pl.ds(halo2 + bi * band_h, band_h), :],
+            sem_o.at[slot])
+
+    in_dma(su, u_hbm, sem_u, 0, 0).start()
+    in_dma(sd, d_hbm, sem_d, 0, 0).start()
+
+    def body(t, _):
+        s = jax.lax.rem(t, 2)
+        i = jax.lax.rem(t, n_bands)  # band index within this channel
+
+        in_dma(su, u_hbm, sem_u, s, t).wait()
+        in_dma(sd, d_hbm, sem_d, s, t).wait()
+
+        @pl.when(t >= 1)
+        def _():
+            out_dma(1 - s, t - 1).start()  # after in(t).wait: alias-safe
+
+        @pl.when(t >= 2)
+        def _():
+            out_dma(s, t - 2).wait()       # slot s free to rewrite
+
+        @pl.when(t + 1 < total)
+        def _():
+            in_dma(su, u_hbm, sem_u, 1 - s, t + 1).start()
+            in_dma(sd, d_hbm, sem_d, 1 - s, t + 1).start()
+
+        su_s, sd_s = su[s], sd[s]
+        off = halo2 - 2 * r
+        v = taps[0] * su_s[off:off + est_rows, :]
+        for k in range(1, len(taps)):
+            v = v + taps[k] * su_s[off + k:off + k + est_rows, :]
+        vt = v.T
+        est_t = taps[0] * vt[0:est_cols, :]
+        for k in range(1, len(taps)):
+            est_t = est_t + taps[k] * vt[k:k + est_cols, :]
+        d_t = sd_s[halo2 - r:halo2 - r + est_rows, :].T[r:r + est_cols, :]
+        ratio_t = d_t / jnp.maximum(est_t, eps)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (est_cols, est_rows), 0)
+        ratio_t = jnp.where(iota_m < r, ratio_t[r:r + 1, :], ratio_t)
+        ratio_t = jnp.where(iota_m >= w + r, ratio_t[w + r - 1:w + r, :],
+                            ratio_t)
+        ratio = ratio_t.T
+        e0 = i * band_h - r
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, (est_rows, est_cols), 0)
+        ratio = jnp.where(iota_e + e0 < 0, ratio[r:r + 1, :], ratio)
+        e_src = h - 1 - (n_bands - 1) * band_h + r
+        bot_last = ratio[e_src:e_src + 1, :]
+        b1 = e_src + band_h
+        bot_prev = ratio[b1:b1 + 1, :] if b1 < est_rows else bot_last
+        bot_src = jnp.where(i == n_bands - 1, bot_last, bot_prev)
+        ratio = jnp.where(iota_e + e0 > h - 1, bot_src, ratio)
+        cv = taps[0] * ratio[0:band_h, :]
+        for k in range(1, len(taps)):
+            cv = cv + taps[k] * ratio[k:k + band_h, :]
+        cvt = cv.T
+        corr_t = taps[0] * cvt[0:w_out, :]
+        for k in range(1, len(taps)):
+            corr_t = corr_t + taps[k] * cvt[k:k + w_out, :]
+        u_t = su_s[halo2:halo2 + band_h, :].T[2 * r:2 * r + w_out, :]
+        newu_t = u_t * corr_t
+        w_in = w_out + 128
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (w_out, band_h), 0)
+        newu_t = jnp.where(iota_c >= w, newu_t[w - 1:w, :], newu_t)
+        left = jnp.broadcast_to(newu_t[0:1, :], (2 * r, band_h))
+        right = jnp.broadcast_to(newu_t[w - 1:w, :], (128 - 2 * r, band_h))
+        blk = jnp.concatenate([left, newu_t, right], axis=0).T
+        src_last = h - 1 - (n_bands - 1) * band_h
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (band_h, w_in), 0)
+        blk = jnp.where(iota_b + i * band_h > h - 1,
+                        blk[src_last:src_last + 1, :], blk)
+
+        so[s] = blk
+
+        # per-channel halo rows, synchronous (both sit after this body's
+        # in-waits, whose regions cover every row they write)
+        @pl.when(i == 0)
+        def _():
+            ci = t // n_bands
+            st[:] = jnp.broadcast_to(blk[0:1, :], (halo2, w_in))
+            cp = pltpu.make_async_copy(
+                st, o_hbm.at[pid * c + ci, pl.ds(0, halo2), :], sem_t)
+            cp.start()
+            cp.wait()
+
+        @pl.when(i == n_bands - 1)
+        def _():
+            ci = t // n_bands
+            sb[:] = jnp.broadcast_to(blk[src_last:src_last + 1, :],
+                                     (halo2, w_in))
+            cp = pltpu.make_async_copy(
+                sb, o_hbm.at[pid * c + ci,
+                             pl.ds(halo2 + n_bands * band_h, halo2), :],
+                sem_b)
+            cp.start()
+            cp.wait()
+
+    jax.lax.fori_loop(0, total, body, None)
+    # drain: out(total-2) was started in body total-1 but never waited;
+    # out(total-1) is still held (its start belongs to "body total")
+    if total >= 2:
+        out_dma(total % 2, total - 2).wait()
+    last = out_dma((total - 1) % 2, total - 1)
+    last.start()
+    last.wait()
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sigma", "iterations", "interpret"))
 def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
@@ -429,30 +588,50 @@ def rl_deblur_pallas_fused(img_hwc: jnp.ndarray, sigma: float = 1.0,
         return jnp.pad(x, ((0, 0), (0, 0), (0, w_in - (ww + 4 * r))))
 
     d_ext = pad_ext(d0)
-    step = pl.pallas_call(
-        functools.partial(_rl_iter_kernel, taps=taps, band_h=band_h,
-                          halo2=halo2, h=hh, w=ww, w_out=w_out,
-                          n_bands=n_bands),
-        out_shape=jax.ShapeDtypeStruct((n * c, hb + 2 * halo2, w_in),
-                                       jnp.float32),
-        grid=(n * c,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
-            pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
-            pltpu.VMEM((2, band_h, w_in), jnp.float32),
-            pltpu.VMEM((halo2, w_in), jnp.float32),
-            pltpu.VMEM((halo2, w_in), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )
+    scratch = [
+        pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
+        pltpu.VMEM((2, band_h + 2 * halo2, w_in), jnp.float32),
+        pltpu.VMEM((2, band_h, w_in), jnp.float32),
+        pltpu.VMEM((halo2, w_in), jnp.float32),
+        pltpu.VMEM((halo2, w_in), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if os.environ.get("NIND_RL_V1"):  # r4 kernel, kept for A/B
+        step = pl.pallas_call(
+            functools.partial(_rl_iter_kernel, taps=taps, band_h=band_h,
+                              halo2=halo2, h=hh, w=ww, w_out=w_out,
+                              n_bands=n_bands),
+            out_shape=jax.ShapeDtypeStruct((n * c, hb + 2 * halo2, w_in),
+                                           jnp.float32),
+            grid=(n * c,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )
+    else:
+        # v2 (r5): one program per image loops all C*n_bands bands, and
+        # the output ALIASES the input — the iteration is fully in-place
+        # (see _rl_iter_kernel2 for the DMA-ordering argument)
+        step = pl.pallas_call(
+            functools.partial(_rl_iter_kernel2, taps=taps, band_h=band_h,
+                              halo2=halo2, h=hh, w=ww, w_out=w_out,
+                              n_bands=n_bands, c=c),
+            out_shape=jax.ShapeDtypeStruct((n * c, hb + 2 * halo2, w_in),
+                                           jnp.float32),
+            grid=(n,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            input_output_aliases={0: 0},
+            interpret=interpret,
+        )
 
     # the kernel both reads AND writes the ext layout, so the loop carries
     # the padded array with zero XLA glue between iterations (the round-2

@@ -168,6 +168,20 @@ def calib_from_image(img01, size: int = 136, scale: float = 1.0):
 # failure mode as round 3's polyphase rewrite: on this chip, interleave
 # relayouts beat any int8 MXU-rate gain they unlock. PERF.md has the full
 # table.
+#
+# ROUND-5 FOLLOW-UP — the backlog's last named idea, CHANNEL-SPACE
+# composition, is also a measured negative. The full phase-CHAIN (the
+# combination r4 never timed end-to-end: merged 2x2 int8 conv over
+# [t | s2d(skip)] producing 4*cout phase-stacked channels, a phase-native
+# 2x2/4C dec_c1, ZERO interleave relayouts between levels, ONE d2s
+# deferred to the chain end) was built as a structural A/B at the real
+# decoder shapes (batch 16, cs=504 forward, all three levels chained) and
+# ran 1.27-1.91x SLOWER than the shipping dilated-int8 chain
+# (8.9-13.8 ms baseline vs 15.6-17.5 ms phase, 3 interleaved reps on
+# chip, 2026-08-20). The phase-stacked convs gain no MXU-rate advantage
+# over XLA's zero-skipping dilated lowering at these shapes, and the 4x
+# channel widths push past the 128-lane sweet spot. The int8 decoder
+# stays dilated; the backlog on this question is now EMPTY.
 
 
 def qconv(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,

@@ -237,13 +237,13 @@ def test_bench_emits_parseable_scorecard_incrementally(tmp_path):
         capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
-    assert len(lines) >= 9  # one cumulative line per mode + the final line
+    assert len(lines) >= 10  # one cumulative line per mode + the final line
     for ln in lines:
         parsed = json.loads(ln)  # every line is a complete scorecard
         assert "metric" in parsed and "scorecard" in parsed
     final = json.loads(lines[-1])
     assert "partial" not in final
-    assert len(final["scorecard"]) == 9
+    assert len(final["scorecard"]) == 10  # 9 r4 modes + whole_image (r5)
     assert all("skipped" in row["error"] for row in final["scorecard"])
     # non-final lines are marked partial
     assert all(json.loads(ln).get("partial") for ln in lines[:-1])
