@@ -152,6 +152,17 @@ def build_parser():
                         "single-device, no clean-clean mixing, and no "
                         "JPEG/noise augs; falls back with a warning "
                         "otherwise")
+    p.add_argument("--checkpoint_interval", type=int, default=1,
+                   help="save the generator every N epochs instead of every "
+                        "epoch (reference parity: 1). New-BEST epochs (any "
+                        "tracked metric) always save regardless, so "
+                        "directory->best-epoch resolution keeps working, and "
+                        "stops (time_limit/min_lr/SIGTERM) force a final "
+                        "save. 0 = stops/final only (no periodic or "
+                        "best-epoch saves — benchmarking/dev). On "
+                        "remote-device links the per-epoch checkpoint fetch "
+                        "(~124 MB for funit=32 + Adam) can dominate epoch "
+                        "wall (PERF.md r5) — N>1 bounds it")
     p.add_argument("--device_cache_refresh", type=float, default=0.25,
                    help="fraction of the device cache re-rolled (new ISO "
                         "pair + crop position, host-decoded in the "
@@ -256,6 +267,56 @@ class GracefulShutdown:
                          "(send again to force)\n")
 
 
+class AsyncCheckpointer:
+    """Overlap the per-epoch checkpoint fetch+write with the next epoch's
+    compute.
+
+    On a remote-device deployment the checkpoint is the hidden epoch tax:
+    ``params_io.save`` fetches every param/Adam leaf to host (~124 MB for
+    UtNet funit=32 + optimizer state), which on the dev tunnel costs
+    4-15 s per epoch — the r4 on-chip record's "7-14 s/epoch wall on
+    0.3 s of step time" was substantially THIS, not just the loader
+    (PERF.md r5). The epoch loop instead (1) snapshots the state
+    device-side (``jnp.copy`` — an HBM copy, ~0.2 ms/GB; required
+    because the next train step DONATES the live state's buffers) and
+    (2) hands the snapshot to a single writer thread that fetches and
+    writes it. Fetching from one dedicated thread while the main thread
+    keeps dispatching is the engine's proven-safe transfer split
+    (CLAUDE.md); one save in flight at a time bounds host memory and
+    preserves file ordering. ``join()`` before retention scans and at
+    loop exit makes completion points explicit; writer errors re-raise
+    there (a checkpoint that failed to write must not be silent)."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def submit(self, save_fn, tree) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        self.join()
+        snap = jax.tree_util.tree_map(
+            lambda a: jnp.copy(a) if hasattr(a, "shape") else a, tree)
+
+        def work():
+            try:
+                save_fn(snap)
+            except BaseException as e:  # noqa: BLE001 — re-raised in join
+                self._error = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from e
+
+
 class GeneratorWrapper:
     """Host-side wrapper pairing a param pytree with its jitted steps
     (reference Generator, nn_common.py:163-272)."""
@@ -325,16 +386,26 @@ class GeneratorWrapper:
                              if v != 1)
         return self.loss.get(component, 1.0)
 
-    def save_model(self, model_dir, epoch, name="generator"):
+    def save_model(self, model_dir, epoch, name="generator",
+                   checkpointer: Optional[AsyncCheckpointer] = None):
         """Checkpoint params + BN state + optimizer leaves (the reference
-        never saved Adam state, SURVEY.md §5.4 — resume here is exact)."""
-        from . import steps
+        never saved Adam state, SURVEY.md §5.4 — resume here is exact).
+        With ``checkpointer`` the device->host fetch + file write overlap
+        the next epoch (see AsyncCheckpointer); None = synchronous."""
+        import jax
 
-        params_io.save({"params": self.state.params,
-                        "state": self.state.model_state,
-                        "opt": steps.opt_state_leaves(self.state.opt_state),
-                        "epoch": epoch},
-                       os.path.join(model_dir, f"{name}_{epoch}.npz"))
+        tree = {"params": self.state.params,
+                "state": self.state.model_state,
+                # device leaves — the fetch happens at np.savez time, on
+                # the writer thread when async (restore_opt_state expects
+                # this flat-list layout)
+                "opt": list(jax.tree_util.tree_leaves(self.state.opt_state)),
+                "epoch": epoch}
+        fpath = os.path.join(model_dir, f"{name}_{epoch}.npz")
+        if checkpointer is None:
+            params_io.save(tree, fpath)
+        else:
+            checkpointer.submit(lambda t: params_io.save(t, fpath), tree)
 
 
 def validate_generator(eval_step, gen, validation_set,
@@ -686,6 +757,7 @@ def main(argv=None):
 
     shutdown = GracefulShutdown()
     shutdown.install()
+    ckpt_writer = AsyncCheckpointer()
     try:
         defer_metrics = args.log_interval > 1
         for epoch in range(args.start_epoch, args.epochs):
@@ -795,6 +867,9 @@ def main(argv=None):
                             f"{os.path.join(model_dir, f'generator_{epoch}.npz')}")
                 return
 
+            # retention must see a consistent directory: wait for the
+            # previous epoch's async checkpoint write before scanning
+            ckpt_writer.join()
             removed = delete_outperformed_models(
                 model_dir, keepers=jsonsaver.get_best_steps(), model_t="generator",
                 keep_all_output_images="keep_all_output_images" in debug_options) \
@@ -845,16 +920,38 @@ def main(argv=None):
                     disc_lrs[di] = d.update_learning_rate(avg_d)
                     if is_chief:
                         d.save_model(model_dir, epoch, d.keyword)
-            if not frozen_generator and is_chief:
-                gen.save_model(model_dir, epoch)
-            if args.time_limit and args.time_limit < time.time() - start_time:
-                p.print("Time is up")
-                return
-            if args.min_lr and generator_lr < args.min_lr and \
-                    all(lr is None or lr < args.min_lr for lr in disc_lrs):
-                p.print("Minimum learning rate reached")
+            if device_cache is not None:
+                # upload the background-refreshed block (if ready) and kick
+                # the next re-roll; a slow host degrades to aug-only
+                # re-randomization, never a stalled chip
+                device_cache.maybe_swap()
+                device_cache.start_refresh()
+            saved = False
+            if not frozen_generator and is_chief and \
+                    args.checkpoint_interval > 0 and (
+                    epoch % args.checkpoint_interval == 0
+                    or epoch in jsonsaver.get_best_steps()):
+                # async: the ~100+ MB device->host fetch + npz write overlap
+                # the next epoch (AsyncCheckpointer) — on remote-device
+                # hosts the synchronous save dominated epoch wall (PERF r5).
+                # New-best epochs save even off-interval: they are exactly
+                # the files retention keeps and complete_path resolves.
+                gen.save_model(model_dir, epoch, checkpointer=ckpt_writer)
+                saved = True
+            stopping = (args.time_limit
+                        and args.time_limit < time.time() - start_time) or \
+                (args.min_lr and generator_lr < args.min_lr and
+                 all(lr is None or lr < args.min_lr for lr in disc_lrs))
+            if stopping:
+                if not saved and not frozen_generator and is_chief:
+                    gen.save_model(model_dir, epoch,
+                                   checkpointer=ckpt_writer)
+                p.print("Time is up" if args.time_limit
+                        and args.time_limit < time.time() - start_time
+                        else "Minimum learning rate reached")
                 return
     finally:
+        ckpt_writer.join()  # the last checkpoint must be on disk
         shutdown.restore()
 
 

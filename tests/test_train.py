@@ -152,6 +152,46 @@ def validation_yaml_104(cropped_ds_104, tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow  # full CLI epochs on the 1-core host
+def test_checkpoint_interval_saves_best_and_final(cropped_ds_104,
+                                                  validation_yaml_104,
+                                                  tmp_path):
+    """--checkpoint_interval N: epochs off the interval skip their save
+    UNLESS they set a new best (retention/resolution semantics preserved);
+    stops force a final save; the async writer's files are complete and
+    loadable at loop exit."""
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.train import loop
+
+    models_dir = str(tmp_path / "models")
+    loop.main([
+        "--train_data", cropped_ds_104,
+        "--models_dpath", models_dir,
+        "--test_reserve", "0",
+        "--g_network", "UtNet", "--g_funit", "2",
+        "--cs", "104", "--loss_cs", "96",
+        "--weight_MSE", "1", "--weight_MSSSIM", "0",
+        "--batch_size", "2", "--epochs", "6", "--start_epoch", "1",
+        "--g_lr", "1e-3", "--beta1", "0.5", "--patience", "2",
+        "--reduce_lr_factor", "0.95", "--min_lr", "1e-9",
+        "--validation_set_yaml", validation_yaml_104,
+        "--threads", "1", "--checkpoint_interval", "3",
+    ])
+    exp = os.path.join(models_dir, os.listdir(models_dir)[0])
+    import json
+
+    res = json.load(open(os.path.join(exp, "trainres.json")))
+    ckpts = sorted(int(f.split("_")[1].split(".")[0])
+                   for f in os.listdir(exp) if f.startswith("generator_"))
+    assert ckpts, os.listdir(exp)
+    # every retained checkpoint loads, and the best epoch resolves
+    best = params_io.complete_path(exp, keyword="generator")
+    tree = params_io.load(best)
+    assert "params" in tree and "opt" in tree
+    # best-epoch file exists even though interval=3 skipped some epochs
+    assert "best_epoch" in res
+
+
 @pytest.mark.slow  # >20 s on the 1-core host
 def test_train_loop_end_to_end(cropped_ds_104, validation_yaml_104, tmp_path):
     """Two short epochs of the full training CLI: loss recorded, best-epoch
