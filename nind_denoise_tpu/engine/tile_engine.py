@@ -538,6 +538,13 @@ class TileEngine:
         denoise_image.py:196-197): one forward at full size, side-mirror
         padding with zero corners, crop back.
 
+        Sizes violating the architecture's validity formula (UtNet's
+        (((cs/2-4)/2-4)/2-4)/2-2 integrality — most real photo dims)
+        additionally mirror-pad bottom/right to the next valid extents
+        and crop back, like ``denoise_tiny``; the reference CRASHES on
+        such sizes (networks/UtNet.py:6-7 documents the constraint, the
+        forward just throws a concat shape error).
+
         Compiles once per image size (memoized here; the persistent cache
         makes cold sizes one-time per host). Bucketing is deliberately NOT
         applied: replicate-padding to a bucket would enter the receptive
@@ -546,8 +553,14 @@ class TileEngine:
         (parallel/spatial.py; --devices N on the CLI)."""
         whole_jit = self._get_whole_jit()
         padded = tiles_mod.whole_image_pad(img_chw, pad) if pad else img_chw.astype(np.float32)
-        x = jnp.asarray(padded.transpose(1, 2, 0))[None].astype(self.compute_dtype)
-        y = whole_jit(self._params, x)
+        hwc = padded.transpose(1, 2, 0)
+        h, w = hwc.shape[:2]
+        th = tiles_mod.next_valid_dim(h, self.size_check)
+        tw = tiles_mod.next_valid_dim(w, self.size_check)
+        if (th, tw) != (h, w):
+            hwc = tiles_mod.pad_to_size(hwc, th, tw)
+        x = jnp.asarray(hwc)[None].astype(self.compute_dtype)
+        y = whole_jit(self._params, x)[:, :h, :w]
         y = np.asarray(y[0]).astype(np.float32).transpose(2, 0, 1)
         if pad:
             y = y[:, pad:-pad, pad:-pad]

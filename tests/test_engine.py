@@ -90,6 +90,39 @@ def test_whole_image_mode():
     np.testing.assert_allclose(out, img, atol=1e-6)
 
 
+def test_whole_image_invalid_arch_size_pads_to_valid():
+    """denoise_whole on a size violating UtNet's validity formula (most
+    real photo dims — the reference CRASHES there, networks/UtNet.py:6-7)
+    must mirror-pad to the next valid extents, forward once, and crop:
+    output == the manual pad_to_size -> apply -> crop oracle (r5)."""
+    import jax
+
+    from nind_denoise_tpu.core import tiles as tiles_mod
+    from nind_denoise_tpu.engine.tile_engine import make_engine
+    from nind_denoise_tpu.models.utnet import UtNet
+
+    h, w = 180, 200  # H invalid ((180/2-4)/2 odd), W valid
+    with pytest.raises(ValueError):
+        UtNet.check_cs(h)
+    UtNet.check_cs(w)
+    rng = np.random.default_rng(5)
+    img = rng.random((3, h, w), dtype=np.float32)
+    params = UtNet.init(jax.random.PRNGKey(1), funit=4)
+    eng = make_engine("UtNet", params, cs=104, ucs=88, batch_size=2,
+                      compute_dtype="float32", precision="float32")
+    out = eng.denoise_whole(img)
+    assert out.shape == img.shape and np.isfinite(out).all()
+
+    th = tiles_mod.next_valid_dim(h, UtNet.check_cs)
+    hwc = tiles_mod.pad_to_size(img.transpose(1, 2, 0), th, w)
+    import jax.numpy as jnp
+
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(UtNet.apply_fast(params, jnp.asarray(hwc)[None])
+                          )[0, :h, :w].transpose(2, 0, 1)
+    np.testing.assert_allclose(out, want, atol=2e-5)
+
+
 def test_bf16_default_path_quality_floor():
     """The PRODUCT DEFAULT inference dtype is bfloat16
     (denoise_image_cli --compute_dtype default) while every parity test
