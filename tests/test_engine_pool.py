@@ -512,3 +512,101 @@ def test_typed_mixed_with_generic_preserves_order(params):
         assert order == ["den", "gen", "den"]
     finally:
         p.close()
+
+
+def test_lockstep_wakeup_guarantees_coalescing(pool):
+    """THE r4 red-flag race, tested at the pool level deterministically:
+    park every worker, queue a 2N-deep typed backlog, release — the
+    fair-share denominator counts OUTSTANDING jobs (not residual qsize),
+    so the first worker reaching its drain is GUARANTEED a partner and
+    coalesced > 0 every run (engine_pool._run spells out the race)."""
+    ndev = len(pool.devices)
+    gate = threading.Event()
+    release = threading.Event()
+    parked = []
+
+    def blocker(engine):
+        parked.append(engine)
+        if len(parked) == ndev:
+            gate.set()
+        assert release.wait(30)
+        return True
+
+    bts = [threading.Thread(target=lambda: pool.submit(blocker))
+           for _ in range(ndev)]
+    for t in bts:
+        t.start()
+    assert gate.wait(10)
+
+    rng = np.random.default_rng(3)
+    img = rng.random((104, 120, 3), dtype=np.float32)
+    before = pool.coalesced
+    results = [None] * (2 * ndev)
+
+    def post(engine, out01, meta):
+        return np.asarray(out01)
+
+    def hit(i):
+        results[i] = pool.submit_denoise(img, 1.0, post)
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(2 * ndev)]
+    for t in threads:
+        t.start()
+    for _ in range(600):
+        if pool._q.qsize() >= 2 * ndev:
+            break
+        threading.Event().wait(0.05)
+    assert pool._q.qsize() >= 2 * ndev
+    assert pool._typed_pending == 2 * ndev  # the fair-share numerator
+    release.set()
+    for t in threads:
+        t.join()
+    for t in bts:
+        t.join()
+    assert pool.coalesced > before
+    # accounting hygiene: every typed job was claimed exactly once
+    assert pool._typed_pending == 0
+    for r in results[1:]:
+        np.testing.assert_array_equal(r, results[0])
+
+
+def test_typed_pending_rolls_back_on_queue_full(params):
+    """A queue.Full rejection must un-count its job (the fair-share
+    numerator would otherwise drift up forever under load shedding)."""
+    p = EnginePool("UtNet", params, jax.local_devices()[:2],
+                   cs=104, ucs=88, compute_dtype="float32", max_pending=1)
+    try:
+        gate = threading.Event()
+        release = threading.Event()
+
+        def blocker(engine):
+            gate.set()
+            release.wait(20)
+            return True
+
+        ts = [threading.Thread(target=lambda: p.submit(blocker))
+              for _ in range(2)]
+        for t in ts:
+            t.start()
+        assert gate.wait(10)
+        img = np.zeros((104, 120, 3), np.float32)
+        filler = threading.Thread(
+            target=lambda: p.submit_denoise(img, 1.0,
+                                            lambda e, o, m: True))
+        filler.start()
+        for _ in range(100):  # wait until the queue slot is taken
+            if p._q.qsize() >= 1:
+                break
+            threading.Event().wait(0.05)
+        with pytest.raises(queue.Full):
+            p.submit_denoise(img, 1.0, lambda e, o, m: True, block=False)
+        pending_after_reject = p._typed_pending
+        release.set()
+        filler.join()
+        ts_join = [t.join() for t in ts]
+        assert pending_after_reject <= 1  # the rejected job was un-counted
+        assert p._typed_pending == 0
+    finally:
+        release.set()
+        p.close()

@@ -78,3 +78,33 @@ def test_resume_continues_epochs(cropped_ds_104, validation_yaml_104, tmp_path):
     epochs2 = sorted(int(f.split("_")[1].split(".")[0])
                      for f in os.listdir(exp2) if f.startswith("generator_"))
     assert epochs2 and min(epochs2) == last_epoch + 1
+
+
+def test_async_checkpointer_writes_and_propagates_errors(tmp_path):
+    """AsyncCheckpointer (train/loop.py): the snapshot is taken at submit
+    time (later mutations of the live tree must not leak into the file),
+    join() completes the write, and a writer failure re-raises at the
+    next join instead of disappearing on the daemon thread."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from nind_denoise_tpu.models import params_io
+    from nind_denoise_tpu.train.loop import AsyncCheckpointer
+
+    ck = AsyncCheckpointer()
+    tree = {"w": jnp.arange(8.0), "epoch": 3}
+    fpath = str(tmp_path / "ck.npz")
+    ck.submit(lambda t: params_io.save(t, fpath), tree)
+    ck.join()
+    got = params_io.load(fpath)
+    np.testing.assert_array_equal(got["w"], np.arange(8.0))
+    assert got["epoch"] == 3
+
+    def boom(_):
+        raise OSError("disk full")
+
+    ck.submit(boom, tree)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ck.join()
+    ck.join()  # error consumed; idempotent afterwards
